@@ -1,0 +1,431 @@
+"""Spec compiler: DSL config lists -> pure init/apply functions.
+
+This replaces the reference's runtime interpretation of a module tree
+(``BlockGen.forward``'s nested Python loops threading ``ListState``,
+/root/reference/models/generator.py:169-198) with a *compile step*:
+
+- channel and spatial shape inference runs once here (the analogue of
+  generator.py:135-167), so every state tensor has a static shape;
+- the result is a :class:`CompiledBlock` of pure closures
+  ``apply(params, stats, state, x, ctx) -> (y, stats, state)`` — under
+  ``jit`` the whole tree flattens into one XLA computation, and the
+  time loop around it is a single ``lax.scan``;
+- parameters / BN running stats / neuron states are three parallel
+  pytrees (nested string-keyed dicts) mirroring the config structure —
+  the checkpoint-serializable analogue of ``ListState``.
+
+Layout is NHWC (channels-last): channels map onto TPU vector lanes and
+convolutions hit the MXU without transposes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from snn_for_object_detection_tpu.models import spec as S
+from snn_for_object_detection_tpu.ops import neurons
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass
+class Ctx:
+    """Per-call context threaded through apply.
+
+    ``train`` is a static Python bool (separate traces for train/eval).
+    ``taps`` collects ``Return`` outputs in config order (the analogue
+    of ``Storage`` side channels, generator.py:343-351). ``records``
+    collects (state, out) per flagged neuron layer when ``record`` is
+    on (the analogue of ``StateStorage``, common.py:86-123).
+    """
+
+    train: bool = False
+    record: bool = False
+    taps: List[Array] = dataclasses.field(default_factory=list)
+    records: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class CompiledBlock:
+    """A compiled sub-network: static shape info + pure closures."""
+
+    out_channels: int
+    out_hw: Tuple[int, int]
+    init: Callable[[Array], Params]  # key -> params
+    init_stats: Callable[[], Params]
+    init_state: Callable[[int], Any]  # batch -> state pytree
+    apply: Callable[[Params, Params, Any, Array, Ctx], Tuple[Array, Params, Any]]
+
+
+def _empty_init(_key):
+    return {}
+
+
+def _empty_stats():
+    return {}
+
+
+def _empty_state(_b):
+    return ()
+
+
+def _passthrough(fn):
+    """Wrap a stateless, param-less array fn into the apply protocol."""
+
+    def apply(params, stats, state, x, ctx):
+        return fn(x), stats, state
+
+    return apply
+
+
+def _kaiming_conv_init(key, shape):
+    """Kaiming-normal, fan_out mode, relu gain — matching the
+    reference's conv init (generator.py:245-252). shape is HWIO."""
+    kh, kw, _, out = shape
+    std = (2.0 / (kh * kw * out)) ** 0.5
+    return std * jax.random.normal(key, shape, jnp.float32)
+
+
+def _conv2d(x, w, stride, padding):
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _conv_out_hw(hw, k, s, p):
+    return tuple((d + 2 * p - k) // s + 1 for d in hw)
+
+
+# ---------------------------------------------------------------------------
+# Leaf compilation
+# ---------------------------------------------------------------------------
+
+
+def _compile_leaf(
+    layer: S.LayerSpec, in_ch: int, in_hw: Tuple[int, int], name: str
+) -> CompiledBlock:
+    h, w = in_hw
+
+    if isinstance(layer, S.Pass):
+        return CompiledBlock(
+            in_ch, in_hw, _empty_init, _empty_stats, _empty_state,
+            _passthrough(lambda x: x),
+        )
+
+    if isinstance(layer, S.Conv):
+        out = in_ch if layer.out_channels is None else layer.out_channels
+        k, s = layer.kernel_size, layer.stride
+        pad = k // 2
+        out_hw = _conv_out_hw(in_hw, k, s, pad)
+
+        def init(key, k=k, in_ch=in_ch, out=out):
+            return {"w": _kaiming_conv_init(key, (k, k, in_ch, out))}
+
+        def apply(params, stats, state, x, ctx, s=s, pad=pad):
+            return _conv2d(x, params["w"], s, pad), stats, state
+
+        return CompiledBlock(out, out_hw, init, _empty_stats, _empty_state, apply)
+
+    if isinstance(layer, S.Norm):
+        def init(key, ch=in_ch, bias=layer.bias):
+            p = {"scale": jnp.ones((ch,), jnp.float32)}
+            if bias:
+                p["bias"] = jnp.zeros((ch,), jnp.float32)
+            return p
+
+        def init_stats(ch=in_ch):
+            return {
+                "mean": jnp.zeros((ch,), jnp.float32),
+                "var": jnp.ones((ch,), jnp.float32),
+            }
+
+        eps, momentum = layer.eps, layer.momentum
+
+        def apply(params, stats, state, x, ctx):
+            xf = x.astype(jnp.float32)
+            if ctx.train:
+                # Per-step batch stats over (B, H, W). Under pjit with a
+                # batch-sharded mesh this mean is a global (cross-
+                # replica) reduction — sync-BN for free (SURVEY.md §2.3).
+                mean = jnp.mean(xf, axis=(0, 1, 2))
+                var = jnp.var(xf, axis=(0, 1, 2))
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * (n / max(n - 1, 1))
+                new_stats = {
+                    "mean": (1 - momentum) * stats["mean"] + momentum * mean,
+                    "var": (1 - momentum) * stats["var"] + momentum * unbiased,
+                }
+            else:
+                mean, var = stats["mean"], stats["var"]
+                new_stats = stats
+            y = (xf - mean) * jax.lax.rsqrt(var + eps) * params["scale"]
+            if "bias" in params:
+                y = y + params["bias"]
+            return y.astype(x.dtype), new_stats, state
+
+        return CompiledBlock(in_ch, in_hw, init, init_stats, _empty_state, apply)
+
+    if isinstance(layer, S.Pool):
+        k = layer.kernel_size
+        s = layer.stride if layer.stride is not None else k
+        out_hw = ((h - k) // s + 1, (w - k) // s + 1)
+
+        def pool_apply(x, k=k, s=s, kind=layer.type):
+            if kind == "M":
+                init_val, op = -jnp.inf, jax.lax.max
+            else:
+                init_val, op = 0.0, jax.lax.add
+            y = jax.lax.reduce_window(
+                x,
+                jnp.asarray(init_val, x.dtype),
+                op,
+                window_dimensions=(1, k, k, 1),
+                window_strides=(1, s, s, 1),
+                padding="VALID",
+            )
+            if kind == "A":
+                y = y / (k * k)
+            return y
+
+        return CompiledBlock(
+            in_ch, out_hw, _empty_init, _empty_stats, _empty_state,
+            _passthrough(pool_apply),
+        )
+
+    if isinstance(layer, S.Up):
+        if layer.mode != "nearest":
+            raise NotImplementedError(f"Up mode {layer.mode!r}")
+        scale = layer.scale
+        out_hw = (h * scale, w * scale)
+
+        def up_apply(x, scale=scale):
+            y = jnp.repeat(x, scale, axis=1)
+            return jnp.repeat(y, scale, axis=2)
+
+        return CompiledBlock(
+            in_ch, out_hw, _empty_init, _empty_stats, _empty_state,
+            _passthrough(up_apply),
+        )
+
+    if isinstance(layer, S.ReLU):
+        return CompiledBlock(
+            in_ch, in_hw, _empty_init, _empty_stats, _empty_state,
+            _passthrough(jax.nn.relu),
+        )
+    if isinstance(layer, S.SiLU):
+        return CompiledBlock(
+            in_ch, in_hw, _empty_init, _empty_stats, _empty_state,
+            _passthrough(jax.nn.silu),
+        )
+    if isinstance(layer, S.Tanh):
+        return CompiledBlock(
+            in_ch, in_hw, _empty_init, _empty_stats, _empty_state,
+            _passthrough(jnp.tanh),
+        )
+
+    if isinstance(layer, (S.LIF, S.LI, S.SLI, S.Synapse)):
+        if isinstance(layer, S.LIF):
+            cell_init, cell_step = neurons.lif_init, neurons.lif_step
+        elif isinstance(layer, S.LI):
+            cell_init, cell_step = neurons.li_init, neurons.li_step
+        elif isinstance(layer, S.SLI):
+            cell_init, cell_step = neurons.sli_init, neurons.sli_step
+        else:
+            p = neurons.SynapseParams(sigma_inhibition=layer.sigma_inhibition)
+            cell_init = lambda shape, dtype=jnp.float32: neurons.synapse_init(
+                shape, dtype, p
+            )
+            cell_step = lambda x, st: neurons.synapse_step(x, st, p)
+
+        record = getattr(layer, "state_storage", False)
+
+        def init_state(b, ch=in_ch, hw=in_hw, cell_init=cell_init):
+            return cell_init((b, hw[0], hw[1], ch))
+
+        def apply(params, stats, state, x, ctx, cell_step=cell_step,
+                  record=record, name=name):
+            # Neuron state is kept in fp32 regardless of compute dtype.
+            out, new_state = cell_step(x.astype(jnp.float32), state)
+            if record and ctx.record:
+                ctx.records[name] = (new_state, out)
+            return out.astype(x.dtype), stats, new_state
+
+        return CompiledBlock(
+            in_ch, in_hw, _empty_init, _empty_stats, init_state, apply
+        )
+
+    if isinstance(layer, S.LSTM):
+        hidden = in_ch if layer.hidden_size is None else layer.hidden_size
+        k = layer.kernel_size
+        out_hw = _conv_out_hw(in_hw, k, 1, 0)
+        if out_hw != in_hw:
+            # Reference ConvLSTM uses k=1 (no padding); other kernels
+            # would shrink the map and desync the carried hidden state.
+            raise ValueError("ConvLSTM kernel_size must be 1")
+
+        def init(key, k=k, in_ch=in_ch, hidden=hidden):
+            return {"w": _kaiming_conv_init(key, (k, k, in_ch + hidden, 4 * hidden))}
+
+        def init_state(b, hw=in_hw, hidden=hidden):
+            shape = (b, hw[0], hw[1], hidden)
+            return (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+
+        def apply(params, stats, state, x, ctx, hidden=hidden):
+            # Gate math mirrors conv_lstm.py:63-78 (order: i, f, o, g).
+            h_prev, c_prev = state
+            combined = jnp.concatenate([x, h_prev.astype(x.dtype)], axis=-1)
+            gates = _conv2d(combined, params["w"], 1, 0).astype(jnp.float32)
+            i_g, f_g, o_g, g_g = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f_g) * c_prev + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+            h_new = jax.nn.sigmoid(o_g) * jnp.tanh(c_new)
+            return h_new.astype(x.dtype), stats, (h_new, c_new)
+
+        return CompiledBlock(hidden, in_hw, init, _empty_stats, init_state, apply)
+
+    if isinstance(layer, S.Return):
+        def apply(params, stats, state, x, ctx):
+            ctx.taps.append(x)
+            return x, stats, state
+
+        return CompiledBlock(
+            in_ch, in_hw, _empty_init, _empty_stats, _empty_state, apply
+        )
+
+    raise TypeError(f"Unknown layer spec: {layer!r}")
+
+
+# ---------------------------------------------------------------------------
+# Block compilation (recursive)
+# ---------------------------------------------------------------------------
+
+
+def compile_block(
+    cfgs,
+    in_ch: int,
+    in_hw: Tuple[int, int],
+    name: str = "",
+    returns: Optional[List[Tuple[int, Tuple[int, int]]]] = None,
+) -> CompiledBlock:
+    """Recursively compile a config list into a :class:`CompiledBlock`.
+
+    Mirrors ``BlockGen.__init__`` (generator.py:82-143): a ``Residual``
+    / ``Dense`` instance is a list of branches; a plain list is a
+    single sequential branch. Nested lists recurse.
+
+    :param returns: When given, ``Return`` leaf (channels, hw) pairs are
+        appended in config order (``NeckGen.out_shape`` analogue).
+    """
+    if isinstance(cfgs, S.Residual):
+        mode, branch_cfgs = "residual", list(cfgs)
+    elif isinstance(cfgs, S.Dense):
+        mode, branch_cfgs = "dense", list(cfgs)
+    else:
+        mode, branch_cfgs = "plain", [list(cfgs)]
+
+    branches: List[List[CompiledBlock]] = []
+    out_channels = 0
+    out_hw: Optional[Tuple[int, int]] = None
+
+    for bi, branch_cfg in enumerate(branch_cfgs):
+        layers: List[CompiledBlock] = []
+        ch, hw = in_ch, in_hw
+        for li, element in enumerate(branch_cfg):
+            lname = f"{name}/b{bi}/l{li}" if name else f"b{bi}/l{li}"
+            if isinstance(element, S.LayerSpec):
+                compiled = _compile_leaf(element, ch, hw, lname)
+                if isinstance(element, S.Return) and returns is not None:
+                    returns.append((ch, hw))
+            elif isinstance(element, (list, tuple)):
+                compiled = compile_block(element, ch, hw, lname, returns)
+            else:
+                raise TypeError(f"Bad config element at {lname}: {element!r}")
+            layers.append(compiled)
+            ch, hw = compiled.out_channels, compiled.out_hw
+        branches.append(layers)
+
+        if mode == "residual":
+            if out_channels and out_channels != ch:
+                raise ValueError(
+                    "Residual branch channel mismatch: "
+                    f"{out_channels} vs {ch} at {name!r}"
+                )
+            out_channels = ch
+        elif mode == "dense":
+            out_channels += ch
+        else:
+            out_channels = ch
+        if mode in ("residual", "dense"):
+            if out_hw is not None and out_hw != hw:
+                raise ValueError(
+                    f"Branch spatial mismatch: {out_hw} vs {hw} at {name!r}"
+                )
+        out_hw = hw
+
+    def init(key):
+        params = {}
+        for bi, layers in enumerate(branches):
+            keys = jax.random.split(key, len(layers) + 1)
+            key = keys[0]
+            params[f"b{bi}"] = {
+                f"l{li}": layer.init(keys[li + 1])
+                for li, layer in enumerate(layers)
+            }
+        return params
+
+    def init_stats():
+        return {
+            f"b{bi}": {
+                f"l{li}": layer.init_stats() for li, layer in enumerate(layers)
+            }
+            for bi, layers in enumerate(branches)
+        }
+
+    def init_state(b):
+        return {
+            f"b{bi}": {
+                f"l{li}": layer.init_state(b) for li, layer in enumerate(layers)
+            }
+            for bi, layers in enumerate(branches)
+        }
+
+    def apply(params, stats, state, x, ctx):
+        outs = []
+        new_stats = {}
+        new_state = {}
+        for bi, layers in enumerate(branches):
+            y = x
+            b_stats = {}
+            b_state = {}
+            for li, layer in enumerate(layers):
+                y, s2, st2 = layer.apply(
+                    params[f"b{bi}"][f"l{li}"],
+                    stats[f"b{bi}"][f"l{li}"],
+                    state[f"b{bi}"][f"l{li}"],
+                    y,
+                    ctx,
+                )
+                b_stats[f"l{li}"] = s2
+                b_state[f"l{li}"] = st2
+            outs.append(y)
+            new_stats[f"b{bi}"] = b_stats
+            new_state[f"b{bi}"] = b_state
+        if mode == "residual":
+            y = outs[0]
+            for o in outs[1:]:
+                y = y + o
+        elif mode == "dense":
+            y = jnp.concatenate(outs, axis=-1)
+        else:
+            y = outs[0]
+        return y, new_stats, new_state
+
+    return CompiledBlock(out_channels, out_hw, init, init_stats, init_state, apply)

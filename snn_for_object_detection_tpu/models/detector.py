@@ -1,0 +1,407 @@
+"""Detector core: backbone/neck/head composition, scan forward, loss.
+
+TPU-native re-design of ``SODa`` (/root/reference/models/soda.py:18-321)
+and the ``Head`` holder (/root/reference/models/generator.py:359-457):
+
+- the reference's per-time-step Python loop (soda.py:141-143) becomes a
+  single ``lax.scan`` whose body is optionally ``jax.checkpoint``-ed
+  (BPTT memory ~ O(state) instead of O(T x activations));
+- the random sequence-start truncation (soda.py:246-257) is expressed
+  as a traced ``start_step`` with ``lax.cond`` gating — one compiled
+  program for all 16 truncations instead of 16 shape variants;
+- anchors are trace-time constants derived from static feature-map
+  shapes (the analogue of the first-call cache, utils/anchors.py:41-44);
+- per-scale heads are independently-parameterized (no weight sharing,
+  generator.py:403-413).
+
+The class itself is configuration + compiled pure functions; parameters
+/ stats / neuron states are explicit pytrees owned by the caller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snn_for_object_detection_tpu.models import compile as C
+from snn_for_object_detection_tpu.models import spec as S
+from snn_for_object_detection_tpu.ops import anchors as anchor_ops
+from snn_for_object_detection_tpu.ops import matching, nms
+
+Array = jax.Array
+
+
+class SODa:
+    """Abstract stateful-recurrent anchor detector.
+
+    Subclasses provide ``backbone_cfgs`` / ``neck_cfgs`` /
+    ``head_cfgs`` DSL lists (the reference's config hooks,
+    soda.py:98-133). Construction compiles the whole network for a
+    static input geometry.
+
+    :param num_classes: Number of foreground classes.
+    :param in_hw: Input frame geometry (H, W) — (240, 304) for GEN1,
+        (720, 1280) for 1Mpx (datasets.py:209-219).
+    :param loss_ratio: GT-vs-background loss weighting (soda.py:30-47).
+    :param time_window: Max random truncation of the sequence start
+        (soda.py:246-257).
+    :param iou_threshold: Anchor-assignment IoU threshold.
+    :param compute_dtype: Activations dtype; ``jnp.bfloat16`` feeds the
+        MXU at full rate. Neuron/BN state stays fp32.
+    """
+
+    def __init__(
+        self,
+        num_classes: int,
+        in_hw: Tuple[int, int] = (240, 304),
+        in_channels: int = 2,
+        loss_ratio: float = 0.04,
+        time_window: int = 16,
+        iou_threshold: float = 0.4,
+        learning_rate: float = 1e-3,
+        state_storage: bool = False,
+        compute_dtype=jnp.float32,
+        remat: bool = True,
+    ):
+        self.num_classes = num_classes
+        self.in_hw = tuple(in_hw)
+        self.in_channels = in_channels
+        self.loss_ratio = loss_ratio
+        self.time_window = time_window
+        self.iou_threshold = iou_threshold
+        self.learning_rate = learning_rate
+        self.state_storage = state_storage
+        self.compute_dtype = compute_dtype
+        self.remat = remat
+
+        self.backbone = C.compile_block(
+            self.backbone_cfgs(), in_channels, self.in_hw, "backbone"
+        )
+        neck_returns: List[Tuple[int, Tuple[int, int]]] = []
+        self.neck = C.compile_block(
+            self.neck_cfgs(),
+            self.backbone.out_channels,
+            self.backbone.out_hw,
+            "neck",
+            returns=neck_returns,
+        )
+        if not neck_returns:
+            raise ValueError("neck_cfgs must contain at least one Return()")
+        self.neck_out_shape = neck_returns  # [(channels, (h, w)), ...]
+
+        # --- anchors (generator.py:389-399) ---
+        num_scales = len(neck_returns)
+        sizes = anchor_ops.default_scale_sizes(num_scales)
+        ratios = anchor_ops.DEFAULT_RATIOS
+        anchors_per_pixel = sizes.shape[1] * len(ratios)
+        self.num_box_out = anchors_per_pixel * 4
+        self.num_class_out = anchors_per_pixel * (num_classes + 1)
+        self.anchors_per_pixel = anchors_per_pixel
+
+        per_scale_anchors = [
+            anchor_ops.generate_anchors(hw[0], hw[1], sizes[idx], ratios)
+            for idx, (_, hw) in enumerate(neck_returns)
+        ]
+        self.anchors = jnp.asarray(np.concatenate(per_scale_anchors))
+        self.num_anchors = int(self.anchors.shape[0])
+
+        # --- per-scale heads: base/box/cls three-part cfg
+        #     (generator.py:465-538), no weight sharing ---
+        self.heads: List[Dict[str, C.CompiledBlock]] = []
+        head_cfg = self.head_cfgs(self.num_box_out, self.num_class_out)
+        if len(head_cfg) != 3:
+            raise ValueError("head_cfgs must return [base, box, cls] lists")
+        for idx, (ch, hw) in enumerate(neck_returns):
+            base = C.compile_block(head_cfg[0], ch, hw, f"head{idx}/base")
+            box = C.compile_block(
+                head_cfg[1], base.out_channels, base.out_hw, f"head{idx}/box"
+            )
+            cls = C.compile_block(
+                head_cfg[2], base.out_channels, base.out_hw, f"head{idx}/cls"
+            )
+            if box.out_channels != self.num_box_out:
+                raise ValueError(
+                    f"head box branch must end with {self.num_box_out} channels"
+                )
+            if cls.out_channels != self.num_class_out:
+                raise ValueError(
+                    f"head cls branch must end with {self.num_class_out} channels"
+                )
+            self.heads.append({"base": base, "box": box, "cls": cls})
+
+    # ----- config hooks (soda.py:98-133) -----
+
+    def backbone_cfgs(self) -> S.ListGen:
+        raise NotImplementedError
+
+    def neck_cfgs(self) -> S.ListGen:
+        raise NotImplementedError
+
+    def head_cfgs(self, box_out: int, cls_out: int) -> S.ListGen:
+        raise NotImplementedError
+
+    # ----- init -----
+
+    def init(self, key: Array) -> Tuple[Any, Any]:
+        """Initialize (params, stats) pytrees."""
+        kb, kn, *kh = jax.random.split(key, 2 + len(self.heads))
+        params = {
+            "backbone": self.backbone.init(kb),
+            "neck": self.neck.init(kn),
+        }
+        stats = {
+            "backbone": self.backbone.init_stats(),
+            "neck": self.neck.init_stats(),
+        }
+        for idx, head in enumerate(self.heads):
+            k0, k1, k2 = jax.random.split(kh[idx], 3)
+            params[f"head{idx}"] = {
+                "base": head["base"].init(k0),
+                "box": head["box"].init(k1),
+                "cls": head["cls"].init(k2),
+            }
+            stats[f"head{idx}"] = {
+                "base": head["base"].init_stats(),
+                "box": head["box"].init_stats(),
+                "cls": head["cls"].init_stats(),
+            }
+        return params, stats
+
+    def init_state(self, batch_size: int) -> Any:
+        """Zero recurrent state for a batch (the ``ListState`` analogue)."""
+        state = {
+            "backbone": self.backbone.init_state(batch_size),
+            "neck": self.neck.init_state(batch_size),
+        }
+        for idx, head in enumerate(self.heads):
+            state[f"head{idx}"] = {
+                "base": head["base"].init_state(batch_size),
+                "box": head["box"].init_state(batch_size),
+                "cls": head["cls"].init_state(batch_size),
+            }
+        return state
+
+    # ----- single-step forward (soda.py:235-244) -----
+
+    def step(
+        self,
+        params: Any,
+        stats: Any,
+        state: Any,
+        x: Array,
+        train: bool = False,
+        record: bool = False,
+    ) -> Tuple[Tuple[Array, Array], Any, Any, Dict[str, Any]]:
+        """One time step: frame [B, H, W, C] -> (cls_preds [B, A, C+1],
+        bbox_preds [B, A, 4]), new stats, new state, records."""
+        ctx = C.Ctx(train=train, record=record)
+        x = x.astype(self.compute_dtype)
+        new_stats: Dict[str, Any] = {}
+        new_state: Dict[str, Any] = {}
+
+        y, new_stats["backbone"], new_state["backbone"] = self.backbone.apply(
+            params["backbone"], stats["backbone"], state["backbone"], x, ctx
+        )
+        _, new_stats["neck"], new_state["neck"] = self.neck.apply(
+            params["neck"], stats["neck"], state["neck"], y, ctx
+        )
+        pyramid = ctx.taps
+        if len(pyramid) != len(self.heads):
+            raise RuntimeError("neck produced wrong number of pyramid taps")
+
+        cls_list, box_list = [], []
+        for idx, (head, fmap) in enumerate(zip(self.heads, pyramid)):
+            hp = params[f"head{idx}"]
+            hs = stats[f"head{idx}"]
+            hst = state[f"head{idx}"]
+            ns: Dict[str, Any] = {}
+            nst: Dict[str, Any] = {}
+            base_out, ns["base"], nst["base"] = head["base"].apply(
+                hp["base"], hs["base"], hst["base"], fmap, ctx
+            )
+            box_out, ns["box"], nst["box"] = head["box"].apply(
+                hp["box"], hs["box"], hst["box"], base_out, ctx
+            )
+            cls_out, ns["cls"], nst["cls"] = head["cls"].apply(
+                hp["cls"], hs["cls"], hst["cls"], base_out, ctx
+            )
+            new_stats[f"head{idx}"] = ns
+            new_state[f"head{idx}"] = nst
+            b = box_out.shape[0]
+            # NHWC is already (pixel-major, channel-minor): flattening
+            # matches the reference's permute+flatten (generator.py:451-457).
+            box_list.append(box_out.reshape(b, -1, 4))
+            cls_list.append(cls_out.reshape(b, -1, self.num_classes + 1))
+
+        cls_preds = jnp.concatenate(cls_list, axis=1)
+        bbox_preds = jnp.concatenate(box_list, axis=1)
+        return (cls_preds, bbox_preds), new_stats, new_state, ctx.records
+
+    # ----- sequence forward (soda.py:138-144 + 246-257) -----
+
+    def forward(
+        self,
+        params: Any,
+        stats: Any,
+        X: Array,
+        start_step: Array | int = 0,
+        train: bool = False,
+        state: Optional[Any] = None,
+    ) -> Tuple[Tuple[Array, Array], Any, Any]:
+        """Run the full sequence, returning last-step predictions.
+
+        :param X: [T, B, H, W, C] event frames.
+        :param start_step: Traced scalar r; steps t < r are skipped
+            (state frozen), reproducing ``X[r:]`` truncation
+            (soda.py:149) without dynamic shapes.
+        :return: ((cls_preds, bbox_preds), new_stats, final_state)
+        """
+        T, B = X.shape[0], X.shape[1]
+        if state is None:
+            state = self.init_state(B)
+        cls0 = jnp.zeros(
+            (B, self.num_anchors, self.num_classes + 1), jnp.float32
+        )
+        box0 = jnp.zeros((B, self.num_anchors, 4), jnp.float32)
+
+        def body(carry, inp):
+            stats, state, preds = carry
+            x_t, t = inp
+
+            def active(_):
+                (cls_p, box_p), s2, st2, _ = self.step(
+                    params, stats, state, x_t, train=train
+                )
+                return s2, st2, (cls_p.astype(jnp.float32),
+                                 box_p.astype(jnp.float32))
+
+            def idle(_):
+                return stats, state, preds
+
+            stats, state, preds = jax.lax.cond(
+                t >= start_step, active, idle, None
+            )
+            return (stats, state, preds), None
+
+        if self.remat:
+            body = jax.checkpoint(body)
+
+        (stats, state, preds), _ = jax.lax.scan(
+            body,
+            (stats, state, (cls0, box0)),
+            (X, jnp.arange(T)),
+        )
+        return preds, stats, state
+
+    # ----- loss (soda.py:259-281) -----
+
+    def loss(
+        self,
+        preds: Tuple[Array, Array],
+        labels: Array,
+    ) -> Array:
+        """SSD loss: CE split into GT/background means weighted by
+        ``loss_ratio``, plus masked L1 on box offsets (normalized over
+        all B*A*4 elements, matching ``box_loss(...).mean()``).
+
+        :param labels: [B, N, 5] (class, x1, y1, x2, y2), -1-padded.
+        """
+        cls_preds, bbox_preds = preds
+        bbox_offset, bbox_mask, class_labels = matching.match_targets(
+            self.anchors, labels, self.iou_threshold
+        )
+        num_out = cls_preds.shape[-1]
+        logp = jax.nn.log_softmax(cls_preds.reshape(-1, num_out), axis=-1)
+        flat_labels = class_labels.reshape(-1)
+        ce = -jnp.take_along_axis(logp, flat_labels[:, None], axis=-1)[:, 0]
+
+        pos = flat_labels > 0
+        n_pos = jnp.maximum(jnp.sum(pos), 1)
+        n_neg = jnp.maximum(jnp.sum(~pos), 1)
+        gt_loss = jnp.sum(jnp.where(pos, ce, 0.0)) / n_pos
+        background_loss = jnp.sum(jnp.where(pos, 0.0, ce)) / n_neg
+
+        bbox_l1 = jnp.mean(
+            jnp.abs(bbox_preds * bbox_mask - bbox_offset * bbox_mask)
+        )
+        return (
+            gt_loss * self.loss_ratio
+            + background_loss * (1 - self.loss_ratio)
+            + bbox_l1
+        )
+
+    # ----- detection post-processing (soda.py:202-233, 294-321) -----
+
+    def detect(
+        self, preds: Tuple[Array, Array], max_out: int = 300
+    ) -> Array:
+        """Softmax + NMS decode: [B, max_out, 6] (class, conf, xyxy)."""
+        cls_preds, bbox_preds = preds
+        probs = jax.nn.softmax(cls_preds, axis=2)
+        return nms.multibox_detection(
+            probs, bbox_preds, self.anchors, max_out=max_out
+        )
+
+    def predict(
+        self,
+        params: Any,
+        stats: Any,
+        x: Array,
+        state: Optional[Any] = None,
+        max_out: int = 300,
+    ) -> Tuple[Array, Any]:
+        """Streaming single-frame inference (soda.py:202-233).
+
+        :param x: One frame [H, W, C] (or [B, H, W, C]).
+        :return: (detections [max_out, 6] clamped to [0, 1], new state).
+            Padded rows have class -1; filter with
+            ``ops.nms.filter_detections`` on the host.
+        """
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        if state is None:
+            state = self.init_state(x.shape[0])
+        (cls_p, box_p), _, state, _ = self.step(
+            params, stats, state, x, train=False
+        )
+        dets = self.detect((cls_p, box_p), max_out=max_out)
+        boxes = jnp.clip(dets[..., 2:], 0.0, 1.0)
+        dets = jnp.concatenate([dets[..., :2], boxes], axis=-1)
+        if squeeze:
+            dets = dets[0]
+        return dets, state
+
+    # ----- introspection (StateStorage analogue, common.py:86-123) -----
+
+    def forward_with_records(
+        self,
+        params: Any,
+        stats: Any,
+        X: Array,
+        state: Optional[Any] = None,
+    ) -> Tuple[Tuple[Array, Array], Any, Any, Dict[str, Any]]:
+        """Eval forward that also returns per-step neuron states/spikes
+        for every ``state_storage=True`` layer, time-stacked via scan
+        (shape [T, ...] per leaf)."""
+        B = X.shape[1]
+        if state is None:
+            state = self.init_state(B)
+
+        def body(carry, x_t):
+            stats, state = carry
+            preds, s2, st2, recs = self.step(
+                params, stats, state, x_t, train=False, record=True
+            )
+            return (s2, st2), (preds, recs)
+
+        (stats, state), (preds_seq, records) = jax.lax.scan(
+            body, (stats, state), X
+        )
+        last = jax.tree.map(lambda a: a[-1], preds_seq)
+        return last, stats, state, records
