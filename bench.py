@@ -1,0 +1,253 @@
+#!/usr/bin/env python3
+"""Headline benchmark: GEN1 event-frames/sec/chip at T=32 inference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+- TPU side: flagship TinyYolo (exact reference architecture,
+  4,228,544 params), bf16 activations, full 32-step stateful forward as
+  one jitted lax.scan, batch of sequences. Throughput counts processed
+  event frames (T x B) per second of steady-state wall clock, with the
+  dispatch overhead of the tunnel amortized over pipelined calls.
+- Baseline: the same architecture executed with PyTorch on the host CPU
+  (the reference's own stack minus the GPU it assumes;
+  /root/reference/config/config.yaml:34 — the driver's north star is
+  ">= 10x PyTorch-CPU on one v5e chip", BASELINE.md). norse is not
+  installed here, so the LIF/LI dynamics are implemented inline with
+  the same Euler math (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+T, B = 32, 4
+H, W = 240, 304
+TORCH_REPS = 2
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from snn_for_object_detection_tpu.models import TinyYolo
+
+    model = TinyYolo(num_classes=2, in_hw=(H, W), compute_dtype=jnp.bfloat16,
+                     remat=False)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    X = jnp.asarray(
+        np.random.default_rng(0).random((T, B, H, W, 2)) < 0.1, jnp.float32
+    )
+
+    def forward(params, stats, X):
+        (cls_p, box_p), _, _ = model.forward(params, stats, X)
+        # scalar outputs: keep the device->host fetch out of the timing
+        return cls_p.sum(), box_p.sum()
+
+    fwd = jax.jit(forward)
+    s, _ = fwd(params, stats, X)
+    float(s)  # compile + warm
+
+    reps = 10
+    t0 = time.perf_counter()
+    outs = [fwd(params, stats, X) for _ in range(reps)]
+    float(outs[-1][0])  # single sync after pipelined dispatches
+    dt = (time.perf_counter() - t0) / reps
+    return T * B / dt
+
+
+def bench_torch_cpu() -> float:
+    """Reference-equivalent TinyYolo forward in PyTorch on CPU."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_grad_enabled(False)
+
+    class LIF(nn.Module):
+        def forward(self, x, state):
+            v, i = state if state is not None else (0.0, 0.0)
+            dv = 1e-3 * 100.0 * (-v + i) if state is not None else 0.0
+            v_dec = v + dv if state is not None else torch.zeros_like(x)
+            i_dec = i - 1e-3 * 200.0 * i if state is not None else torch.zeros_like(x)
+            z = (v_dec - 1.0 > 0).float()
+            v_new = (1 - z) * v_dec
+            i_new = i_dec + x
+            return z, (v_new, i_new)
+
+    class LI(nn.Module):
+        def forward(self, x, state):
+            v, i = state if state is not None else (
+                torch.zeros_like(x), torch.zeros_like(x)
+            )
+            i_jump = i + x
+            v_new = v + 1e-3 * 100.0 * (-v + i_jump)
+            i_dec = i_jump - 1e-3 * 200.0 * i_jump
+            return v_new, (v_new, i_dec)
+
+    stateful_types = (LIF, LI)
+
+    def make_branch(cfg, ch):
+        layers = []
+        for el in cfg:
+            if isinstance(el, tuple) and el and el[0] in ("R", "D"):
+                m, ch = make_block(el, ch)
+            else:
+                kind = el[0]
+                if kind == "conv":
+                    out = ch if el[1] is None else el[1]
+                    m = nn.Conv2d(ch, out, el[2], el[3],
+                                  padding=el[2] // 2, bias=False)
+                    ch = out
+                elif kind == "norm":
+                    m = nn.BatchNorm2d(ch)
+                    m.eval()
+                elif kind == "lif":
+                    m = LIF()
+                elif kind == "li":
+                    m = LI()
+                else:
+                    m = nn.Identity()
+            layers.append(m)
+        return layers, ch
+
+    class Block(nn.Module):
+        def __init__(self, marked, ch):
+            super().__init__()
+            self.mode = marked[0]
+            branches = marked[1] if self.mode in ("R", "D") else [marked[1]]
+            mods, outs = [], []
+            for b in branches:
+                layers, c = make_branch(b, ch)
+                mods.append(nn.ModuleList(layers))
+                outs.append(c)
+            self.branches = nn.ModuleList(mods)
+            self.out_ch = (
+                outs[0] if self.mode == "R"
+                else sum(outs) if self.mode == "D" else outs[-1]
+            )
+
+        def forward(self, x, state):
+            state = state or [None] * len(self.branches)
+            outs, new_state = [], []
+            for branch, bstate in zip(self.branches, state):
+                bstate = bstate or [None] * len(branch)
+                y = x
+                ns = []
+                for idx, layer in enumerate(branch):
+                    if isinstance(layer, (Block, *stateful_types)):
+                        y, s = layer(y, bstate[idx])
+                        ns.append(s)
+                    else:
+                        y = layer(y)
+                        ns.append(None)
+                outs.append(y)
+                new_state.append(ns)
+            if self.mode == "R":
+                y = sum(outs)
+            elif self.mode == "D":
+                y = torch.cat(outs, dim=1)
+            else:
+                y = outs[0]
+            return y, new_state
+
+    def make_block(marked, ch):
+        blk = Block(marked, ch)
+        return blk, blk.out_ch
+
+    def _conv(out=None, k=3, s=1):
+        return [("conv", out, k, s), ("norm",), ("lif",)]
+
+    def _bot():
+        return ("R", [[*_conv()], [("id",)]])
+
+    def _rec(n):
+        return [] if n == 0 else [("D", [[_bot(), *_rec(n - 1)], [("id",)]])]
+
+    def _c2f(out, n):
+        return [
+            ("conv", out, 1, 1),
+            ("D", [[("conv", out // 2, 1, 1), *_rec(n)],
+                   [("conv", out // 2, 1, 1)]]),
+            ("conv", out, 1, 1),
+        ]
+
+    backbone_cfg = ("P", [*_conv(64, 3, 2), *_c2f(64, 2),
+                          *_conv(128, 3, 2), *_c2f(128, 3)])
+    neck_parts = [
+        ("P", [*_conv(256, 3, 2), *_c2f(256, 4)]),
+        ("P", [*_conv(256, 3, 2), *_c2f(256, 3)]),
+        ("P", [*_conv(256, 3, 2), *_c2f(256, 2)]),
+    ]
+    head_cfg = ("P", [("conv", None, 1, 1), ("norm",), ("li",)])
+
+    backbone, ch = make_block(backbone_cfg, 2)
+    necks, nch = [], ch
+    for part in neck_parts:
+        blk, nch = make_block(part, nch)
+        necks.append(blk)
+    heads = []
+    for _ in range(3):
+        base, bch = make_block(head_cfg, 256)
+        box = nn.Conv2d(bch, 36, 1, bias=False)
+        cls = nn.Conv2d(bch, 27, 1, bias=False)
+        heads.append((base, box, cls))
+
+    x_seq = torch.from_numpy(
+        (np.random.default_rng(0).random((T, 1, 2, H, W)) < 0.1).astype(
+            np.float32
+        )
+    )
+
+    def run_once():
+        state = [None] * 7
+        for t in range(T):
+            y, state[0] = backbone(x_seq[t], state[0])
+            feats = []
+            for i, blk in enumerate(necks):
+                y, state[1 + i] = blk(y, state[1 + i])
+                feats.append(y)
+            for i, ((base, box, cls), f) in enumerate(zip(heads, feats)):
+                b, state[4 + i] = base(f, state[4 + i])
+                bo = box(b)
+                cl = cls(b)
+        return bo, cl
+
+    run_once()  # warm
+    t0 = time.perf_counter()
+    for _ in range(TORCH_REPS):
+        run_once()
+    dt = (time.perf_counter() - t0) / TORCH_REPS
+    return T * 1 / dt  # torch runs batch 1
+
+
+def main():
+    tpu_fps = bench_tpu()
+    try:
+        cpu_fps = bench_torch_cpu()
+    except Exception as e:  # torch baseline is best-effort
+        print(f"[bench] torch baseline failed: {e}", file=sys.stderr)
+        cpu_fps = float("nan")
+    vs = tpu_fps / cpu_fps if np.isfinite(cpu_fps) and cpu_fps > 0 else None
+    print(
+        json.dumps(
+            {
+                "metric": "gen1_event_frames_per_sec_per_chip_T32",
+                "value": round(tpu_fps, 1),
+                "unit": "event-frames/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+                "baseline": {
+                    "pytorch_cpu_frames_per_sec": (
+                        round(cpu_fps, 1) if np.isfinite(cpu_fps) else None
+                    )
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

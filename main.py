@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""CLI entry point: ``python main.py {fit,validate,test,predict}``.
+
+The first-party replacement for the reference's LightningCLI wiring
+(/root/reference/main.py:6-35): subcommands, default config files,
+YAML ``class_path``/``init_args`` model selection (any SODa subclass),
+dotted-key CLI overrides, resolved-config snapshot.
+
+Examples
+--------
+  python main.py fit --config config/config.yaml
+  python main.py fit --data.init_args.dataset=1mpx \
+      --model.init_args.num_classes=7
+  python main.py test --ckpt_path log/run/checkpoints/last
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+
+def build(cfg):
+    from snn_for_object_detection_tpu.utils.config import instantiate
+
+    model = instantiate(cfg["model"])
+    data = instantiate(cfg["data"])
+    trainer_cfg = dict(cfg.get("trainer") or {})
+    from snn_for_object_detection_tpu.train import Trainer
+
+    trainer = Trainer(**trainer_cfg)
+    return model, data, trainer
+
+
+def load_model_state(trainer, model, ckpt_path):
+    """Restore (params, stats) from a checkpoint directory."""
+    import jax.numpy as jnp
+
+    params, stats = model.init(jax.random.PRNGKey(0))
+    target = {"params": params, "stats": stats, "opt_state": None,
+              "step": 0, "epoch": 0}
+    try:
+        restored = trainer.ckpt.restore(ckpt_path, target=target)
+    except Exception:
+        # allow restoring checkpoints saved without opt_state
+        restored = trainer.ckpt.restore(ckpt_path)
+    return restored["params"], restored["stats"]
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    parser.add_argument(
+        "subcommand", choices=["fit", "validate", "test", "predict"]
+    )
+    parser.add_argument(
+        "--config", action="append", default=None,
+        help="YAML config file(s), merged left to right "
+             "(default: config/config.yaml)",
+    )
+    args, overrides = parser.parse_known_args(argv)
+
+    from snn_for_object_detection_tpu.utils.config import (
+        load_config,
+        save_config_snapshot,
+    )
+
+    config_paths = args.config or ["config/config.yaml"]
+    cfg = load_config(config_paths, overrides)
+
+    model, data, trainer = build(cfg)
+    save_config_snapshot(cfg, trainer.out_dir)
+    ckpt_path = cfg.get("ckpt_path")
+
+    if args.subcommand == "fit":
+        trainer.fit(model, data, ckpt_path=ckpt_path)
+    elif args.subcommand == "validate":
+        params, stats = load_model_state(trainer, model, ckpt_path)
+        trainer.validate(model, data, params, stats)
+    elif args.subcommand == "test":
+        params, stats = load_model_state(trainer, model, ckpt_path)
+        trainer.test(model, data, params, stats)
+    elif args.subcommand == "predict":
+        from snn_for_object_detection_tpu.utils.config import instantiate
+
+        params, stats = load_model_state(trainer, model, ckpt_path)
+        plotter = instantiate(
+            cfg.get("plotter")
+            or {
+                "class_path": "snn_for_object_detection_tpu.utils.Plotter",
+                "init_args": {"save_video": True, "show_video": False},
+            }
+        )
+        trainer.predict(model, data, params, stats, plotter)
+
+
+if __name__ == "__main__":
+    main()

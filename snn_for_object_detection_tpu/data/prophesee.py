@@ -29,8 +29,9 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from snn_for_object_detection_tpu.data.psee import EventReader
+from snn_for_object_detection_tpu.data.psee import EventReader, _decode
 from snn_for_object_detection_tpu.data.rasterize import rasterize
+from snn_for_object_detection_tpu.native import rasterize_records_native
 
 # name -> (height, width, time-field name in the GT npy, class labels)
 DATASET_GEOMETRY = {
@@ -177,11 +178,26 @@ class STStream(_StreamBase):
         first_event_time_us = first_label_time_us - self.time_step_us * (
             self.num_steps - self.time_shift
         )
-        events = reader.load_delta_t(
+        records = reader.load_delta_t_records(
             first_label_time_us
             + self.time_step_us * self.time_shift
             - start_time_us
         )
+
+        # Fast path: fused C++ decode+scatter (one pass, no columns).
+        native = rasterize_records_native(
+            records, first_event_time_us, self.time_step_us,
+            self.num_steps, self.height, self.width, clip_x=self.clip_x,
+        )
+        if native is not None:
+            features, n_events = native
+            if (n_events // self.num_steps) < self.events_threshold:
+                return None, True
+            if n_events == 0:
+                return None, False
+            return (features, labels[:, 1:].copy()), True
+
+        events = _decode(records)
         sel = events["t"] >= first_event_time_us
         events = {k: v[sel] for k, v in events.items()}
         if (events["t"].shape[0] // self.num_steps) < self.events_threshold:
@@ -232,13 +248,21 @@ class MTStream(_StreamBase):
             reader.reset()
         start_time = reader.current_time // self.time_step_us
         end_time = start_time + self.num_steps
-        events = reader.load_delta_t(self.duration_us)
-        time_idx = (
-            events["t"].astype(np.int64) // self.time_step_us - start_time
+        records = reader.load_delta_t_records(self.duration_us)
+        native = rasterize_records_native(
+            records, start_time * self.time_step_us, self.time_step_us,
+            self.num_steps, self.height, self.width,
         )
-        features = rasterize(
-            events, time_idx, self.num_steps, self.height, self.width
-        )
+        if native is not None:
+            features, _ = native
+        else:
+            events = _decode(records)
+            time_idx = (
+                events["t"].astype(np.int64) // self.time_step_us - start_time
+            )
+            features = rasterize(
+                events, time_idx, self.num_steps, self.height, self.width
+            )
         sel = (gt[:, 0] >= start_time) & (gt[:, 0] < end_time)
         labels = gt[sel].copy()
         labels[:, 0] -= start_time

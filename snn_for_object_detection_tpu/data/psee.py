@@ -90,21 +90,27 @@ class EventReader:
     def reset(self) -> None:
         self._cursor = 0
 
-    def load_delta_t(self, delta_t_us: int) -> Dict[str, np.ndarray]:
-        """Consume all events in ``[current_time, current_time + Δt)``.
-
-        :return: Columns ``t`` (uint32 µs), ``x``, ``y`` (uint16),
-            ``p`` (uint8, 0/1).
-        """
+    def load_delta_t_records(self, delta_t_us: int) -> np.ndarray:
+        """Consume events in ``[current_time, current_time + Δt)`` and
+        return the RAW ``[M, 2]`` uint32 record slice (zero-copy view of
+        the memmap) — input for the fused native rasterizer."""
         if self.done:
-            return _decode(self._records[0:0])
+            return self._records[0:0]
         start_t = self._records[self._cursor, 0]
         end_t = start_t + np.uint64(delta_t_us)
         times = self._records[:, 0]
         end_idx = int(np.searchsorted(times, end_t, side="left"))
         chunk = self._records[self._cursor : end_idx]
         self._cursor = end_idx
-        return _decode(chunk)
+        return chunk
+
+    def load_delta_t(self, delta_t_us: int) -> Dict[str, np.ndarray]:
+        """Consume all events in ``[current_time, current_time + Δt)``.
+
+        :return: Columns ``t`` (uint32 µs), ``x``, ``y`` (uint16),
+            ``p`` (uint8, 0/1).
+        """
+        return _decode(self.load_delta_t_records(delta_t_us))
 
     def seek_time(self, t_us: int) -> None:
         """Position the cursor at the first event with timestamp >= t_us."""

@@ -269,32 +269,42 @@ class SODa:
         )
         box0 = jnp.zeros((B, self.num_anchors, 4), jnp.float32)
 
-        def body(carry, inp):
-            stats, state, preds = carry
-            x_t, t = inp
+        static_full = isinstance(start_step, int) and start_step == 0
 
-            def active(_):
-                (cls_p, box_p), s2, st2, _ = self.step(
-                    params, stats, state, x_t, train=train
-                )
-                return s2, st2, (cls_p.astype(jnp.float32),
-                                 box_p.astype(jnp.float32))
-
-            def idle(_):
-                return stats, state, preds
-
-            stats, state, preds = jax.lax.cond(
-                t >= start_step, active, idle, None
+        def run_step(stats, state, x_t):
+            (cls_p, box_p), s2, st2, _ = self.step(
+                params, stats, state, x_t, train=train
             )
-            return (stats, state, preds), None
+            return s2, st2, (cls_p.astype(jnp.float32),
+                             box_p.astype(jnp.float32))
+
+        if static_full:
+            # No truncation: plain scan, no per-step branch.
+            def body(carry, x_t):
+                stats, state, _ = carry
+                stats, state, preds = run_step(stats, state, x_t)
+                return (stats, state, preds), None
+
+            xs = X
+        else:
+            def body(carry, inp):
+                stats, state, preds = carry
+                x_t, t = inp
+                stats, state, preds = jax.lax.cond(
+                    t >= start_step,
+                    lambda _: run_step(stats, state, x_t),
+                    lambda _: (stats, state, preds),
+                    None,
+                )
+                return (stats, state, preds), None
+
+            xs = (X, jnp.arange(T))
 
         if self.remat:
             body = jax.checkpoint(body)
 
         (stats, state, preds), _ = jax.lax.scan(
-            body,
-            (stats, state, (cls0, box0)),
-            (X, jnp.arange(T)),
+            body, (stats, state, (cls0, box0)), xs
         )
         return preds, stats, state
 

@@ -1,0 +1,145 @@
+"""Orbax checkpointing with top-k-by-metric retention and resume.
+
+The TPU-native equivalent of the reference's Lightning checkpointing
+(SURVEY.md §5.4): ``ModelCheckpoint(save_top_k=4, monitor=map,
+mode=max)`` + resume via ``ckpt_path`` (config/config.yaml:1,45-49).
+Checkpoints are self-describing: (params, stats, opt_state, step,
+epoch) plus a JSON metadata blob with the monitored metric and config
+snapshot (the ``save_hyperparameters`` analogue, soda.py:67).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Minimal top-k checkpoint manager over an Orbax PyTreeCheckpointer."""
+
+    def __init__(
+        self,
+        directory: str,
+        save_top_k: int = 4,
+        monitor: str = "map",
+        mode: str = "max",
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.save_top_k = save_top_k
+        self.monitor = monitor
+        self.mode = mode
+        self._ckpt = ocp.PyTreeCheckpointer()
+        self._index_path = os.path.join(self.directory, "index.json")
+        self._latest_name: Optional[str] = None
+        self._index: Dict[str, float] = {}
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                self._index = json.load(f)
+
+    def _better(self, a: float, b: float) -> bool:
+        return a > b if self.mode == "max" else a < b
+
+    def _flush_index(self) -> None:
+        with open(self._index_path, "w") as f:
+            json.dump(self._index, f, indent=1)
+
+    def save(
+        self,
+        step: int,
+        state: Any,
+        metric: Optional[float] = None,
+        meta: Optional[Dict] = None,
+    ) -> Optional[str]:
+        """Save ``state`` (arbitrary pytree) tagged by step; keep only
+        the top-k by the monitored metric (None = always keep 'last')."""
+        name = f"step_{step:09d}"
+        path = os.path.join(self.directory, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        # a previously-protected (pruned-but-latest) checkpoint can be
+        # deleted once a newer save supersedes it
+        if (
+            self._latest_name
+            and self._latest_name != name
+            and self._latest_name not in self._index
+        ):
+            stale = os.path.join(self.directory, self._latest_name)
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        self._ckpt.save(path, state)
+        self._latest_name = name
+        if meta is not None:
+            with open(os.path.join(self.directory, name + ".meta.json"), "w") as f:
+                json.dump(meta, f, indent=1, default=str)
+        if metric is not None:
+            self._index[name] = float(metric)
+            self._prune()
+        self._flush_index()
+        # maintain a 'last' symlink for unconditional resume
+        last = os.path.join(self.directory, "last")
+        if os.path.islink(last):
+            os.unlink(last)
+        elif os.path.exists(last):
+            shutil.rmtree(last)
+        os.symlink(path, last)
+        return path
+
+    def _prune(self) -> None:
+        if self.save_top_k <= 0:
+            return
+        ranked = sorted(
+            self._index.items(),
+            key=lambda kv: kv[1],
+            reverse=(self.mode == "max"),
+        )
+        for name, _ in ranked[self.save_top_k :]:
+            path = os.path.join(self.directory, name)
+            # never delete the newest checkpoint's data — 'last' points
+            # at it and resume must always work; it is removed once a
+            # newer save supersedes it (see save())
+            if name != self._latest_name and os.path.exists(path):
+                shutil.rmtree(path)
+            meta = path + ".meta.json"
+            if os.path.exists(meta):
+                os.remove(meta)
+            del self._index[name]
+
+    def best_path(self) -> Optional[str]:
+        if not self._index:
+            return None
+        ranked = sorted(
+            self._index.items(),
+            key=lambda kv: kv[1],
+            reverse=(self.mode == "max"),
+        )
+        return os.path.join(self.directory, ranked[0][0])
+
+    def restore(self, path: Optional[str] = None, target: Any = None) -> Any:
+        """Restore a checkpoint pytree. ``path=None`` -> 'last'."""
+        if path is None:
+            path = os.path.join(self.directory, "last")
+        path = os.path.abspath(path)
+        if target is not None:
+            return self._ckpt.restore(path, item=target)
+        return self._ckpt.restore(path)
+
+
+def save_single(path: str, state: Any) -> None:
+    """One-off checkpoint save (no retention management)."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ocp.PyTreeCheckpointer().save(path, state)
+
+
+def load_single(path: str, target: Any = None) -> Any:
+    path = os.path.abspath(path)
+    c = ocp.PyTreeCheckpointer()
+    return c.restore(path, item=target) if target is not None else c.restore(path)

@@ -1,0 +1,392 @@
+"""First-party training/evaluation loop (the Lightning replacement).
+
+Orchestration parity with the reference trainer config
+(/root/reference/config/config.yaml:33-77 + main.py):
+
+- epochs of ``limit_train_batches`` steps over the infinite stream
+  (the only thing that makes an epoch finite, SURVEY.md §4);
+- validation every ``check_val_every_n_epoch`` epochs with mAP;
+- EarlyStopping(monitor=map, mode=max, patience) and top-k-by-map
+  checkpoint retention (config.yaml:39-49);
+- resume via ``ckpt_path``;
+- Adamax optimizer (soda.py:135-136).
+
+TPU-native core: one jitted train step = random-start truncation +
+T-step scan forward + loss + grad + Adamax update, with params donated
+(no copy per step) and the batch sharded over the data-parallel mesh.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from snn_for_object_detection_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from snn_for_object_detection_tpu.train.checkpoint import CheckpointManager
+from snn_for_object_detection_tpu.train.metrics import (
+    MeanAveragePrecision,
+    detections_to_map_inputs,
+)
+
+
+class MetricsLogger:
+    """JSONL + stdout metrics sink (the logger-config analogue,
+    SURVEY.md §5.5)."""
+
+    def __init__(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, "metrics.jsonl")
+
+    def log(self, step: int, payload: Dict[str, float]) -> None:
+        rec = {"step": step, "time": time.time(), **payload}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec, default=float) + "\n")
+        printable = " ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in payload.items()
+        )
+        print(f"[step {step}] {printable}", flush=True)
+
+
+class Trainer:
+    """Training orchestrator.
+
+    :param mesh: Optional pre-built device mesh; default = 1-D mesh
+        over all visible devices (data parallelism).
+    """
+
+    def __init__(
+        self,
+        max_epochs: int = -1,
+        min_epochs: int = 0,
+        limit_train_batches: int = 100,
+        limit_val_batches: int = 100,
+        limit_test_batches: int = 1000,
+        check_val_every_n_epoch: int = 20,
+        early_stopping_patience: int = 30,
+        monitor: str = "map",
+        save_top_k: int = 4,
+        log_every_n_steps: int = 20,
+        out_dir: str = "log/run",
+        seed: int = 0,
+        mesh=None,
+        debug_nans: bool = False,
+        profile_dir: Optional[str] = None,
+    ):
+        self.max_epochs = max_epochs
+        self.min_epochs = min_epochs
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.limit_test_batches = limit_test_batches
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.early_stopping_patience = early_stopping_patience
+        self.monitor = monitor
+        self.log_every_n_steps = log_every_n_steps
+        self.out_dir = out_dir
+        self.seed = seed
+        self._mesh = mesh  # user-provided; else sized lazily per batch
+        self.debug_nans = debug_nans
+        self.profile_dir = profile_dir
+        self.logger = MetricsLogger(out_dir)
+        self.ckpt = CheckpointManager(
+            os.path.join(out_dir, "checkpoints"),
+            save_top_k=save_top_k,
+            monitor=monitor,
+        )
+
+    def mesh_for_batch(self, batch_size: int):
+        """Data-parallel mesh whose size divides the global batch. A
+        user-provided mesh is used as-is; otherwise take the largest
+        divisor of ``batch_size`` not exceeding the device count (so
+        small debug batches still run on big hosts)."""
+        if self._mesh is not None:
+            return self._mesh
+        n_dev = len(jax.devices())
+        n = min(n_dev, batch_size)
+        while batch_size % n:
+            n -= 1
+        self._mesh = make_mesh(jax.devices()[:n])
+        if n < n_dev:
+            print(
+                f"[trainer] batch {batch_size} not divisible by {n_dev} "
+                f"devices; using a {n}-device mesh",
+                flush=True,
+            )
+        return self._mesh
+
+    @property
+    def mesh(self):
+        if self._mesh is None:
+            self._mesh = make_mesh()
+        return self._mesh
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    def _build_steps(self, model):
+        optimizer = optax.adamax(model.learning_rate)
+        rep = replicated(self.mesh)
+        feat_sh = batch_sharding(self.mesh, 1)
+        lab_sh = batch_sharding(self.mesh, 0)
+
+        def train_step(params, opt_state, stats, X, labels, key):
+            r = (
+                jax.random.randint(key, (), 0, model.time_window)
+                if model.time_window
+                else 0
+            )
+
+            def loss_fn(p, stats):
+                preds, new_stats, _ = model.forward(
+                    p, stats, X, start_step=r, train=True
+                )
+                return model.loss(preds, labels), new_stats
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, stats)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, new_stats, loss
+
+        jit_train = jax.jit(
+            train_step,
+            in_shardings=(rep, rep, rep, feat_sh, lab_sh, rep),
+            out_shardings=(rep, rep, rep, rep),
+            donate_argnums=(0, 1, 2),
+        )
+
+        def eval_step(params, stats, X, labels, key):
+            r = (
+                jax.random.randint(key, (), 0, model.time_window)
+                if model.time_window
+                else 0
+            )
+            preds, _, _ = model.forward(params, stats, X, start_step=r)
+            loss = model.loss(preds, labels)
+            dets = model.detect(preds)
+            return loss, dets
+
+        jit_eval = jax.jit(
+            eval_step,
+            in_shardings=(rep, rep, feat_sh, lab_sh, rep),
+        )
+        return optimizer, jit_train, jit_eval
+
+    # ------------------------------------------------------------------
+    # fit / validate / test
+    # ------------------------------------------------------------------
+
+    def fit(
+        self,
+        model,
+        data,
+        ckpt_path: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        """Train until early stopping / max_epochs. Returns final state."""
+        if self.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        self.mesh_for_batch(data.batch_size)
+        optimizer, jit_train, jit_eval = self._build_steps(model)
+        key = jax.random.PRNGKey(self.seed)
+
+        params, stats = model.init(jax.random.fold_in(key, 0))
+        opt_state = optimizer.init(params)
+        step = 0
+        epoch = 0
+        best_metric = -np.inf
+        epochs_since_best = 0
+
+        if ckpt_path:
+            restored = self.ckpt.restore(
+                ckpt_path,
+                target={
+                    "params": params,
+                    "stats": stats,
+                    "opt_state": opt_state,
+                    "step": 0,
+                    "epoch": 0,
+                },
+            )
+            params = restored["params"]
+            stats = restored["stats"]
+            opt_state = restored["opt_state"]
+            step = int(restored["step"])
+            epoch = int(restored["epoch"])
+            print(f"resumed from {ckpt_path} at step {step}", flush=True)
+
+        train_iter = data.train_loader()
+        val_iter_factory = data.val_loader
+
+        # Profiling hook (SURVEY.md §5.1): capture a TensorBoard/Perfetto
+        # trace of a few post-compile steps when profile_dir is set.
+        profile_at = 3 if self.profile_dir else -1
+        profiling = False
+
+        t_epoch = time.time()
+        while self.max_epochs < 0 or epoch < self.max_epochs:
+            # ---- one train epoch ----
+            losses = []
+            for _ in range(self.limit_train_batches):
+                X, labels = next(train_iter)
+                key, sub = jax.random.split(key)
+                Xd, labd = shard_batch(self.mesh, X, labels)
+                if step == profile_at and not profiling:
+                    jax.profiler.start_trace(self.profile_dir)
+                    profiling = True
+                params, opt_state, stats, loss = jit_train(
+                    params, opt_state, stats, Xd, labd, sub
+                )
+                if profiling and step >= profile_at + 2:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"[trainer] profile written to {self.profile_dir}",
+                          flush=True)
+                step += 1
+                losses.append(loss)
+                if step % self.log_every_n_steps == 0:
+                    self.logger.log(
+                        step, {"train_loss": float(jnp.mean(jnp.stack(losses[-self.log_every_n_steps:])))}
+                    )
+            epoch += 1
+            self.logger.log(
+                step,
+                {
+                    "epoch": epoch,
+                    "epoch_train_loss": float(jnp.mean(jnp.stack(losses))),
+                    "epoch_time_s": time.time() - t_epoch,
+                },
+            )
+            t_epoch = time.time()
+
+            # ---- periodic validation + checkpointing + early stop ----
+            if epoch % self.check_val_every_n_epoch == 0:
+                key, sub = jax.random.split(key)
+                metrics = self._run_eval(
+                    model, jit_eval, params, stats,
+                    val_iter_factory(), self.limit_val_batches, sub, "val",
+                )
+                self.logger.log(step, metrics)
+                metric = metrics.get(self.monitor, 0.0)
+                self.ckpt.save(
+                    step,
+                    {
+                        "params": params,
+                        "stats": stats,
+                        "opt_state": opt_state,
+                        "step": step,
+                        "epoch": epoch,
+                    },
+                    metric=metric,
+                    meta={"metrics": metrics, "epoch": epoch},
+                )
+                if metric > best_metric:
+                    best_metric = metric
+                    epochs_since_best = 0
+                else:
+                    epochs_since_best += self.check_val_every_n_epoch
+                if (
+                    epoch >= self.min_epochs
+                    and self.early_stopping_patience > 0
+                    and epochs_since_best >= self.early_stopping_patience
+                ):
+                    print(
+                        f"early stopping at epoch {epoch} "
+                        f"(best {self.monitor}={best_metric:.4f})",
+                        flush=True,
+                    )
+                    break
+
+        return {
+            "params": params,
+            "stats": stats,
+            "opt_state": opt_state,
+            "step": step,
+            "epoch": epoch,
+            "best_metric": best_metric,
+        }
+
+    def _run_eval(
+        self, model, jit_eval, params, stats, data_iter, limit, key, prefix
+    ) -> Dict[str, float]:
+        map_metric = MeanAveragePrecision()
+        losses = []
+        for X, labels in itertools.islice(data_iter, limit):
+            key, sub = jax.random.split(key)
+            Xd, labd = shard_batch(self.mesh, X, labels)
+            loss, dets = jit_eval(params, stats, Xd, labd, sub)
+            losses.append(float(loss))
+            preds, targets = detections_to_map_inputs(
+                np.asarray(dets), labels
+            )
+            map_metric.update(preds, targets)
+        result = map_metric.compute()
+        out = {f"{prefix}_loss": float(np.mean(losses)) if losses else 0.0}
+        out.update({k: float(v) for k, v in result.items()})
+        return out
+
+    def validate(self, model, data, params, stats) -> Dict[str, float]:
+        self.mesh_for_batch(data.batch_size)
+        _, _, jit_eval = self._build_steps(model)
+        key = jax.random.PRNGKey(self.seed)
+        metrics = self._run_eval(
+            model, jit_eval, params, stats,
+            data.val_loader(), self.limit_val_batches, key, "val",
+        )
+        self.logger.log(0, metrics)
+        return metrics
+
+    def test(self, model, data, params, stats) -> Dict[str, float]:
+        self.mesh_for_batch(data.batch_size)
+        _, _, jit_eval = self._build_steps(model)
+        key = jax.random.PRNGKey(self.seed)
+        metrics = self._run_eval(
+            model, jit_eval, params, stats,
+            data.test_loader(), self.limit_test_batches, key, "test",
+        )
+        self.logger.log(0, metrics)
+        return metrics
+
+    def predict(
+        self, model, data, params, stats, plotter, limit: int = 1
+    ) -> None:
+        """Streaming visualization (soda.py:191-200): run sample 0 of
+        each batch frame-by-frame through the stateful predict API and
+        hand frames to the plotter."""
+        plotter.labels = data.get_labels()
+        jit_predict = jax.jit(
+            lambda p, s, x, st: model.predict(p, s, x, st)
+        )
+        for batch_idx, (X, labels) in enumerate(
+            itertools.islice(data.predict_loader(), limit)
+        ):
+            frames = X[:, 0]  # [T, H, W, 2]
+            state = model.init_state(1)
+            video = []
+            dets = None
+            for t in range(frames.shape[0]):
+                dets, state = jit_predict(
+                    params, stats, jnp.asarray(frames[t][None]), state
+                )
+                shown = None if t < model.time_window else np.asarray(dets[0])
+                video.append(plotter.apply(frames[t], shown, None))
+            video.append(
+                plotter.apply(frames[-1], np.asarray(dets[0]), labels[0])
+            )
+            plotter(video, data.time_step, str(batch_idx))

@@ -1,0 +1,10 @@
+"""Config system, visualization, profiling helpers."""
+
+from snn_for_object_detection_tpu.utils.config import (
+    instantiate,
+    load_config,
+    parse_overrides,
+)
+from snn_for_object_detection_tpu.utils.plotter import Plotter
+
+__all__ = ["Plotter", "instantiate", "load_config", "parse_overrides"]

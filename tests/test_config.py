@@ -1,0 +1,91 @@
+"""Config system tests: YAML merging, overrides, instantiation."""
+
+import numpy as np
+import pytest
+
+from snn_for_object_detection_tpu.utils.config import (
+    deep_update,
+    instantiate,
+    load_config,
+    parse_overrides,
+    save_config_snapshot,
+)
+
+
+def test_deep_update():
+    base = {"a": {"b": 1, "c": 2}, "d": 3}
+    deep_update(base, {"a": {"b": 10}, "e": 4})
+    assert base == {"a": {"b": 10, "c": 2}, "d": 3, "e": 4}
+
+
+def test_parse_overrides_types():
+    out = parse_overrides(
+        ["--model.init_args.lr=0.01", "--data.flag=true", "--x=[1,2]"]
+    )
+    assert out["model"]["init_args"]["lr"] == 0.01
+    assert out["data"]["flag"] is True
+    assert out["x"] == [1, 2]
+
+
+def test_parse_overrides_rejects_bad():
+    with pytest.raises(ValueError):
+        parse_overrides(["positional"])
+
+
+def test_load_config_merging(tmp_path):
+    p1 = tmp_path / "a.yaml"
+    p1.write_text("model:\n  lr: 1\n  depth: 2\n")
+    p2 = tmp_path / "b.yaml"
+    p2.write_text("model:\n  lr: 5\n")
+    cfg = load_config([str(p1), str(p2)], ["--model.depth=9"])
+    assert cfg == {"model": {"lr": 5, "depth": 9}}
+
+
+def test_instantiate_class_path():
+    obj = instantiate(
+        {
+            "class_path": "snn_for_object_detection_tpu.utils.Plotter",
+            "init_args": {"threshold": 0.5, "save_video": False},
+        }
+    )
+    from snn_for_object_detection_tpu.utils import Plotter
+
+    assert isinstance(obj, Plotter)
+    assert obj.threshold == 0.5
+
+
+def test_instantiate_nested():
+    node = {
+        "outer": {
+            "class_path": "snn_for_object_detection_tpu.utils.Plotter",
+            "init_args": {"threshold": 0.9},
+        },
+        "plain": [1, 2],
+    }
+    out = instantiate(node)
+    assert out["outer"].threshold == 0.9
+    assert out["plain"] == [1, 2]
+
+
+def test_snapshot_roundtrip(tmp_path):
+    cfg = {"a": 1, "b": {"c": [1, 2]}}
+    path = save_config_snapshot(cfg, str(tmp_path))
+    import yaml
+
+    assert yaml.safe_load(open(path)) == cfg
+
+
+def test_default_config_instantiates():
+    """The shipped config/config.yaml must build model+data+trainer."""
+    cfg = load_config(["config/config.yaml"])
+    model = instantiate(cfg["model"])
+    from snn_for_object_detection_tpu.models import TinyYolo
+
+    assert isinstance(model, TinyYolo)
+    assert model.num_classes == 2
+    data = instantiate(cfg["data"])
+    assert data.dataset == "gen1"
+    from snn_for_object_detection_tpu.train import Trainer
+
+    trainer = Trainer(**cfg["trainer"])
+    assert trainer.limit_train_batches == 100

@@ -1,0 +1,132 @@
+"""Trainer tests: checkpoint roundtrip, end-to-end fit on synthetic
+data (CPU, 8 virtual devices), eval path with mAP, plotter rendering."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snn_for_object_detection_tpu.data import PropheseeDataModule
+from snn_for_object_detection_tpu.data.synthetic import make_synthetic_dataset
+from snn_for_object_detection_tpu.train import Trainer
+from snn_for_object_detection_tpu.train.checkpoint import CheckpointManager
+from snn_for_object_detection_tpu.utils import Plotter
+from tests.test_detector import MicroSODa
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("traindata"))
+    return make_synthetic_dataset(root, records_per_split=2, duration_ms=1500)
+
+
+def make_dm(root, batch_size=2):
+    return PropheseeDataModule(
+        data_dir=root, dataset="gen1", batch_size=batch_size, num_workers=1,
+        num_load_file=2, num_steps=6, time_step=16, time_shift=3,
+        max_labels=8, seed=0,
+    )
+
+
+def test_checkpoint_topk_and_restore(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_top_k=2, monitor="map")
+    for step, metric in [(1, 0.1), (2, 0.5), (3, 0.3), (4, 0.05)]:
+        mgr.save(step, {"w": jnp.full((3,), float(step))}, metric=metric)
+    # top-2 by metric: steps 2 (0.5) and 3 (0.3)
+    kept = sorted(mgr._index.keys())
+    assert kept == ["step_000000002", "step_000000003"]
+    best = mgr.best_path()
+    restored = mgr.restore(best, target={"w": jnp.zeros(3)})
+    np.testing.assert_allclose(np.asarray(restored["w"]), 2.0)
+    # 'last' always restorable (even if pruned from top-k index)
+    last = mgr.restore(target={"w": jnp.zeros(3)})
+    np.testing.assert_allclose(np.asarray(last["w"]), 4.0)
+
+
+def test_fit_one_epoch_and_resume(synth_root, tmp_path):
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=3)
+    dm = make_dm(synth_root)
+    trainer = Trainer(
+        max_epochs=1, limit_train_batches=3, limit_val_batches=2,
+        check_val_every_n_epoch=1, out_dir=str(tmp_path / "run"),
+        log_every_n_steps=2, save_top_k=2, seed=0,
+    )
+    result = trainer.fit(model, dm)
+    assert result["step"] == 3
+    assert np.isfinite(result["best_metric"]) or result["best_metric"] == -np.inf
+    # metrics were logged
+    assert os.path.exists(os.path.join(trainer.out_dir, "metrics.jsonl"))
+    # checkpoint exists and resume continues from it
+    ckpt_last = os.path.join(trainer.out_dir, "checkpoints", "last")
+    assert os.path.exists(ckpt_last)
+
+    trainer2 = Trainer(
+        max_epochs=2, limit_train_batches=3, limit_val_batches=2,
+        check_val_every_n_epoch=5, out_dir=str(tmp_path / "run2"), seed=0,
+    )
+    result2 = trainer2.fit(model, dm, ckpt_path=ckpt_last)
+    # resumed at step 3 / epoch 1; max_epochs=2 -> one more epoch of 3
+    assert result2["step"] == 6
+    assert result2["epoch"] == 2
+
+
+def test_training_reduces_loss(synth_root, tmp_path):
+    """Overfit smoke test: a few steps on the synthetic stream must
+    reduce the training loss (SURVEY.md §4 test plan)."""
+    model = MicroSODa(
+        num_classes=2, in_hw=(240, 304), time_window=0, learning_rate=5e-3
+    )
+    dm = make_dm(synth_root)
+    trainer = Trainer(
+        max_epochs=4, limit_train_batches=4, check_val_every_n_epoch=100,
+        out_dir=str(tmp_path / "overfit"), log_every_n_steps=100, seed=0,
+    )
+    result = trainer.fit(model, dm)
+    import json
+
+    losses = [
+        json.loads(l)["epoch_train_loss"]
+        for l in open(os.path.join(trainer.out_dir, "metrics.jsonl"))
+        if "epoch_train_loss" in l
+    ]
+    assert len(losses) == 4
+    assert losses[-1] < losses[0], losses
+
+
+def test_eval_produces_map(synth_root, tmp_path):
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+    dm = make_dm(synth_root)
+    trainer = Trainer(
+        limit_val_batches=2, out_dir=str(tmp_path / "ev"), seed=0
+    )
+    params, stats = model.init(jax.random.PRNGKey(0))
+    metrics = trainer.validate(model, dm, params, stats)
+    for k in ("val_loss", "map", "map_50", "mar_1", "mar_10", "mar_100"):
+        assert k in metrics
+        assert np.isfinite(metrics[k])
+
+
+def test_plotter_renders_boxes():
+    p = Plotter(threshold=0.5, save_video=False, show_video=False)
+    p.labels = ["car", "person"]
+    frame = np.zeros((40, 60, 2), np.float32)
+    # event pixels chosen inside the boxes, away from drawn edges/text
+    frame[22, 30, 1] = 1  # positive event
+    frame[20, 30, 0] = 1  # negative event
+    preds = np.array([[0, 0.9, 0.2, 0.2, 0.8, 0.8]])
+    target = np.array([[1, 0.1, 0.1, 0.9, 0.9], [-1, -1, -1, -1, -1]])
+    img = p.apply(frame, preds, target)
+    assert img.shape == (40, 60, 3)
+    assert img[22, 30, 2] == 255  # positive -> red
+    assert img[20, 30, 0] == 255  # negative -> blue
+    assert img.sum() > 2 * 255  # boxes drawn
+
+
+def test_plotter_writes_video(tmp_path):
+    p = Plotter(save_video=True, show_video=False, file_path=str(tmp_path))
+    frames = [np.zeros((32, 48, 3), np.uint8) for _ in range(3)]
+    p(frames, interval=16, batch_idx="7")
+    assert os.path.exists(tmp_path / "out7.avi")
+    assert os.path.getsize(tmp_path / "out7.avi") > 0
