@@ -1,6 +1,7 @@
 """Model DSL, spec compiler, detector core, and model zoo."""
 
 from snn_for_object_detection_tpu.models.spec import (
+    ALIF,
     Conv,
     Dense,
     LI,
@@ -8,6 +9,7 @@ from snn_for_object_detection_tpu.models.spec import (
     LSTM,
     LayerSpec,
     Norm,
+    PLIF,
     Pass,
     Pool,
     ReLU,
@@ -21,8 +23,10 @@ from snn_for_object_detection_tpu.models.spec import (
 )
 from snn_for_object_detection_tpu.models.detector import SODa
 from snn_for_object_detection_tpu.models.tiny_yolo import TinyYolo
+from snn_for_object_detection_tpu.models.vgg import VggSNN
 
 __all__ = [
+    "ALIF",
     "Conv",
     "Dense",
     "LI",
@@ -30,6 +34,7 @@ __all__ = [
     "LSTM",
     "LayerSpec",
     "Norm",
+    "PLIF",
     "Pass",
     "Pool",
     "ReLU",
@@ -42,4 +47,5 @@ __all__ = [
     "Tanh",
     "TinyYolo",
     "Up",
+    "VggSNN",
 ]

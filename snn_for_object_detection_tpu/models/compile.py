@@ -177,24 +177,38 @@ def _compile_leaf(
     if isinstance(layer, S.Pool):
         k = layer.kernel_size
         s = layer.stride if layer.stride is not None else k
-        out_hw = ((h - k) // s + 1, (w - k) // s + 1)
+        oh, ow = (h - k) // s + 1, (w - k) // s + 1
+        out_hw = (oh, ow)
 
-        def pool_apply(x, k=k, s=s, kind=layer.type):
-            if kind == "M":
-                init_val, op = -jnp.inf, jax.lax.max
-            else:
-                init_val, op = 0.0, jax.lax.add
-            y = jax.lax.reduce_window(
-                x,
-                jnp.asarray(init_val, x.dtype),
-                op,
-                window_dimensions=(1, k, k, 1),
-                window_strides=(1, s, s, 1),
-                padding="VALID",
+        # Note: generic lax.reduce_window has no linearization rule
+        # under jax.checkpoint (the scan body is remat-ed for BPTT), so
+        # pooling is expressed via reshape reductions (k == s, the only
+        # configuration the reference uses, layer_gen.py:146-173) or a
+        # depthwise conv — both fully differentiable and MXU/VPU-
+        # friendly.
+        if s == k:
+            def pool_apply(x, k=k, oh=oh, ow=ow, kind=layer.type):
+                b, _, _, c = x.shape
+                x = x[:, : oh * k, : ow * k, :]
+                x = x.reshape(b, oh, k, ow, k, c)
+                if kind == "M":
+                    return jnp.max(x, axis=(2, 4))
+                y = jnp.sum(x, axis=(2, 4))
+                return y / (k * k) if kind == "A" else y
+        elif layer.type in ("A", "S"):
+            def pool_apply(x, k=k, s=s, kind=layer.type, c=in_ch):
+                kernel = jnp.ones((k, k, 1, 1), x.dtype)
+                y = jax.lax.conv_general_dilated(
+                    x, jnp.broadcast_to(kernel, (k, k, 1, c)),
+                    (s, s), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=c,
+                )
+                return y / (k * k) if kind == "A" else y
+        else:
+            raise NotImplementedError(
+                "Max pool with stride != kernel_size is not supported"
             )
-            if kind == "A":
-                y = y / (k * k)
-            return y
 
         return CompiledBlock(
             in_ch, out_hw, _empty_init, _empty_stats, _empty_state,
@@ -230,6 +244,50 @@ def _compile_leaf(
         return CompiledBlock(
             in_ch, in_hw, _empty_init, _empty_stats, _empty_state,
             _passthrough(jnp.tanh),
+        )
+
+    if isinstance(layer, S.PLIF):
+        def init(key, ch=in_ch):
+            p = neurons.plif_params_init(ch)
+            return {"raw_tau_syn": p.raw_tau_syn, "raw_tau_mem": p.raw_tau_mem}
+
+        def init_state(b, ch=in_ch, hw=in_hw):
+            return neurons.lif_init((b, hw[0], hw[1], ch))
+
+        record = layer.state_storage
+
+        def apply(params, stats, state, x, ctx, record=record, name=name):
+            learn = neurons.PLIFParams(
+                params["raw_tau_syn"], params["raw_tau_mem"]
+            )
+            out, new_state = neurons.plif_step(
+                x.astype(jnp.float32), state, learn
+            )
+            if record and ctx.record:
+                ctx.records[name] = (new_state, out)
+            return out.astype(x.dtype), stats, new_state
+
+        return CompiledBlock(in_ch, in_hw, init, _empty_stats, init_state, apply)
+
+    if isinstance(layer, S.ALIF):
+        ap = neurons.ALIFParams(
+            beta=layer.beta, tau_adapt_inv=layer.tau_adapt_inv
+        )
+
+        def init_state(b, ch=in_ch, hw=in_hw, ap=ap):
+            return neurons.alif_init((b, hw[0], hw[1], ch), p=ap)
+
+        record = layer.state_storage
+
+        def apply(params, stats, state, x, ctx, ap=ap, record=record,
+                  name=name):
+            out, new_state = neurons.alif_step(x.astype(jnp.float32), state, ap)
+            if record and ctx.record:
+                ctx.records[name] = (new_state, out)
+            return out.astype(x.dtype), stats, new_state
+
+        return CompiledBlock(
+            in_ch, in_hw, _empty_init, _empty_stats, init_state, apply
         )
 
     if isinstance(layer, (S.LIF, S.LI, S.SLI, S.Synapse)):

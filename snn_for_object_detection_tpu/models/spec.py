@@ -127,6 +127,26 @@ class LI(LayerSpec):
 
 
 @dataclasses.dataclass(frozen=True)
+class PLIF(LayerSpec):
+    """Parametric LIF: learnable per-channel time constants (beyond the
+    reference's fixed-tau LIF; trainable via the surrogate gradient)."""
+
+    STATEFUL = True
+    state_storage: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ALIF(LayerSpec):
+    """Adaptive-threshold LIF: spike-triggered threshold growth with
+    decay (beyond-reference neuron family)."""
+
+    STATEFUL = True
+    state_storage: bool = False
+    beta: float = 0.2
+    tau_adapt_inv: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
 class SLI(LayerSpec):
     """Saturable leaky integrator (layer_gen.py:331-347)."""
 

@@ -146,6 +146,108 @@ def li_step(
 
 
 # ---------------------------------------------------------------------------
+# PLIF — parametric LIF with learnable per-channel time constants
+# (beyond-reference model family; BASELINE.json config 4. The membrane
+# and synaptic decay rates become trainable parameters, gradients
+# flowing through the Euler update.)
+# ---------------------------------------------------------------------------
+
+
+class PLIFParams(NamedTuple):
+    """Trainable per-channel inverse time constants (positive via
+    softplus at apply time)."""
+
+    raw_tau_syn: Array  # softplus(raw) = tau_syn_inv
+    raw_tau_mem: Array
+
+
+def plif_params_init(
+    channels: int,
+    tau_syn_inv: float = 1.0 / 5e-3,
+    tau_mem_inv: float = 1.0 / 1e-2,
+) -> PLIFParams:
+    """Initialize raw params so softplus(raw) equals the LIF defaults."""
+    import math
+
+    def inv_softplus(y):
+        return math.log(math.expm1(y))
+
+    return PLIFParams(
+        raw_tau_syn=jnp.full((channels,), inv_softplus(tau_syn_inv)),
+        raw_tau_mem=jnp.full((channels,), inv_softplus(tau_mem_inv)),
+    )
+
+
+def plif_step(
+    x: Array,
+    state: LIFState,
+    learn: PLIFParams,
+    p: LIFParams = LIFParams(),
+) -> Tuple[Array, LIFState]:
+    """LIF dynamics with learnable per-channel decay rates (channels =
+    trailing axis, NHWC)."""
+    tau_syn_inv = jax.nn.softplus(learn.raw_tau_syn)
+    tau_mem_inv = jax.nn.softplus(learn.raw_tau_mem)
+    dv = p.dt * tau_mem_inv * ((p.v_leak - state.v) + state.i)
+    v_decayed = state.v + dv
+    i_decayed = state.i - p.dt * tau_syn_inv * state.i
+    z = superspike(v_decayed - p.v_th, p.alpha)
+    z_sg = jax.lax.stop_gradient(z)
+    v_new = (1.0 - z_sg) * v_decayed + z_sg * p.v_reset
+    i_new = i_decayed + x
+    return z, LIFState(v_new, i_new)
+
+
+# ---------------------------------------------------------------------------
+# ALIF — adaptive-threshold LIF
+# (beyond-reference: spike-triggered threshold adaptation with its own
+# decay; standard adaptive LIF formulation.)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ALIFParams:
+    tau_syn_inv: float = 1.0 / 5e-3
+    tau_mem_inv: float = 1.0 / 1e-2
+    tau_adapt_inv: float = 1.0 / 1e-1
+    beta: float = 0.2  # threshold jump per spike
+    v_leak: float = 0.0
+    v_th: float = 1.0
+    v_reset: float = 0.0
+    alpha: float = 100.0
+    dt: float = 1e-3
+
+
+class ALIFState(NamedTuple):
+    v: Array
+    i: Array
+    b: Array  # adaptive threshold offset
+
+
+def alif_init(shape, dtype=jnp.float32, p: ALIFParams = ALIFParams()) -> ALIFState:
+    return ALIFState(
+        v=jnp.full(shape, p.v_leak, dtype=dtype),
+        i=jnp.zeros(shape, dtype=dtype),
+        b=jnp.zeros(shape, dtype=dtype),
+    )
+
+
+def alif_step(
+    x: Array, state: ALIFState, p: ALIFParams = ALIFParams()
+) -> Tuple[Array, ALIFState]:
+    dv = p.dt * p.tau_mem_inv * ((p.v_leak - state.v) + state.i)
+    v_decayed = state.v + dv
+    i_decayed = state.i - p.dt * p.tau_syn_inv * state.i
+    b_decayed = state.b - p.dt * p.tau_adapt_inv * state.b
+    z = superspike(v_decayed - (p.v_th + b_decayed), p.alpha)
+    z_sg = jax.lax.stop_gradient(z)
+    v_new = (1.0 - z_sg) * v_decayed + z_sg * p.v_reset
+    b_new = b_decayed + p.beta * z_sg
+    i_new = i_decayed + x
+    return z, ALIFState(v_new, i_new, b_new)
+
+
+# ---------------------------------------------------------------------------
 # SLI — saturable leaky integrator
 # (reference first-party cell: /root/reference/models/modules/sli.py:110-126)
 # ---------------------------------------------------------------------------
