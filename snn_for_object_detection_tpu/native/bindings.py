@@ -63,12 +63,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.decode_events.restype = None
-        lib.rasterize_records.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
-        ]
-        lib.rasterize_records.restype = ctypes.c_int64
+        for fname in ("rasterize_records", "rasterize_records_u8"):
+            fn = getattr(lib, fname)
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ]
+            fn.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -104,18 +106,29 @@ def rasterize_records_native(
     width: int,
     clip_x: bool = False,
     out: Optional[np.ndarray] = None,
+    dtype=np.float32,
 ) -> Optional[Tuple[np.ndarray, int]]:
-    """Fused decode+scatter. Returns (frames [T,H,W,2] f32, n_scattered)
-    or None if the native library is unavailable."""
+    """Fused decode+scatter. Returns (frames [T,H,W,2], n_in_window)
+    or None if the native library is unavailable. ``dtype`` may be
+    float32 or uint8 (4x smaller buffer + transfer)."""
     lib = _load()
     if lib is None:
         return None
+    dtype = np.dtype(dtype)
+    fn = (
+        lib.rasterize_records
+        if dtype == np.float32
+        else lib.rasterize_records_u8
+    )
+    if dtype not in (np.float32, np.uint8):
+        raise ValueError(f"unsupported frame dtype {dtype}")
     records = np.ascontiguousarray(records, dtype=np.uint32)
     if out is None:
-        out = np.zeros((num_steps, height, width, 2), np.float32)
+        out = np.zeros((num_steps, height, width, 2), dtype)
     else:
-        out.fill(0.0)
-    n = lib.rasterize_records(
+        assert out.dtype == dtype
+        out.fill(0)
+    n = fn(
         records.ctypes.data, records.shape[0],
         int(t_min_us), int(step_us),
         int(num_steps), int(height), int(width), int(bool(clip_x)),

@@ -64,4 +64,33 @@ int64_t rasterize_records(const uint32_t* records, int64_t n,
   return count;
 }
 
+// uint8 variant: the frame tensor is 4x smaller than float32, which
+// matters twice — the memset of the [T, H, W, 2] buffer dominates the
+// 1Mpx rasterization cost, and the host->device transfer shrinks 4x.
+// The device casts to the compute dtype inside the jitted step.
+int64_t rasterize_records_u8(const uint32_t* records, int64_t n,
+                             int64_t t_min_us, int64_t step_us,
+                             int32_t num_steps, int32_t height,
+                             int32_t width, int32_t clip_x,
+                             uint8_t* frames) {
+  const int64_t frame_stride = static_cast<int64_t>(height) * width * 2;
+  const int64_t row_stride = static_cast<int64_t>(width) * 2;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t ts = static_cast<int64_t>(records[2 * i]);
+    if (ts < t_min_us) continue;
+    const int64_t f = (ts - t_min_us) / step_us;
+    if (f < 0 || f >= num_steps) continue;
+    ++count;
+    const uint32_t w = records[2 * i + 1];
+    int32_t ex = static_cast<int32_t>(w & 0x3FFF);
+    const int32_t ey = static_cast<int32_t>((w >> 14) & 0x3FFF);
+    const int32_t ep = static_cast<int32_t>((w >> 28) & 0x1);
+    if (clip_x) ex = ex < 0 ? 0 : (ex >= width ? width - 1 : ex);
+    if (ex >= width || ey >= height) continue;
+    frames[f * frame_stride + ey * row_stride + ex * 2 + ep] = 1;
+  }
+  return count;
+}
+
 }  // extern "C"

@@ -99,8 +99,8 @@ def test_st_stream_yields_training_samples(synth_root):
     for _ in range(3):
         features, labels = next(it)
         assert features.shape == (8, 240, 304, 2)
-        assert features.dtype == np.float32
-        assert set(np.unique(features)) <= {0.0, 1.0}
+        assert features.dtype == np.uint8  # compact transfer dtype
+        assert set(np.unique(features)) <= {0, 1}
         assert labels.shape[1] == 5
         assert len(labels) >= 1
         # boxes normalized
