@@ -66,6 +66,7 @@ class SODa:
         learning_rate: float = 1e-3,
         state_storage: bool = False,
         compute_dtype=jnp.float32,
+        state_dtype=jnp.float32,
         remat: bool = True,
     ):
         self.num_classes = num_classes
@@ -77,10 +78,12 @@ class SODa:
         self.learning_rate = learning_rate
         self.state_storage = state_storage
         self.compute_dtype = compute_dtype
+        self.state_dtype = state_dtype
         self.remat = remat
 
         self.backbone = C.compile_block(
-            self.backbone_cfgs(), in_channels, self.in_hw, "backbone"
+            self.backbone_cfgs(), in_channels, self.in_hw, "backbone",
+            state_dtype=state_dtype,
         )
         neck_returns: List[Tuple[int, Tuple[int, int]]] = []
         self.neck = C.compile_block(
@@ -89,6 +92,7 @@ class SODa:
             self.backbone.out_hw,
             "neck",
             returns=neck_returns,
+            state_dtype=state_dtype,
         )
         if not neck_returns:
             raise ValueError("neck_cfgs must contain at least one Return()")
@@ -117,12 +121,15 @@ class SODa:
         if len(head_cfg) != 3:
             raise ValueError("head_cfgs must return [base, box, cls] lists")
         for idx, (ch, hw) in enumerate(neck_returns):
-            base = C.compile_block(head_cfg[0], ch, hw, f"head{idx}/base")
+            base = C.compile_block(head_cfg[0], ch, hw, f"head{idx}/base",
+                                   state_dtype=state_dtype)
             box = C.compile_block(
-                head_cfg[1], base.out_channels, base.out_hw, f"head{idx}/box"
+                head_cfg[1], base.out_channels, base.out_hw, f"head{idx}/box",
+                state_dtype=state_dtype,
             )
             cls = C.compile_block(
-                head_cfg[2], base.out_channels, base.out_hw, f"head{idx}/cls"
+                head_cfg[2], base.out_channels, base.out_hw, f"head{idx}/cls",
+                state_dtype=state_dtype,
             )
             if box.out_channels != self.num_box_out:
                 raise ValueError(

@@ -77,9 +77,10 @@ def multibox_detection(
     :param anchors: [A, 4] corner-format anchors.
     :param max_out: Static number of output slots per image.
     :return: [B, max_out, 6] rows ``(class, conf, x1, y1, x2, y2)``,
-        sorted by confidence; suppressed / background rows have
-        class -1. Low-confidence rows (< pos_threshold) are demoted to
-        background with conf replaced by ``1 - conf`` (box.py:146-148).
+        foreground-argmax anchors first (by confidence), then
+        background; suppressed / background rows have class -1.
+        Low-confidence rows (< pos_threshold) are demoted to background
+        with conf replaced by ``1 - conf`` (box.py:146-148).
     """
 
     def one(cls_prob, offset_pred):
@@ -87,8 +88,14 @@ def multibox_detection(
         cid = jnp.argmax(cls_prob, axis=1).astype(jnp.int32) - 1
         decoded = box_ops.decode_offsets(anchors, offset_pred)
 
+        # Anchors whose argmax is background can never become
+        # detections (box.py:85 iterates real classes only), so they
+        # must not crowd foreground anchors out of the static top-K:
+        # rank foreground-argmax anchors strictly first.
+        rank = jnp.where(cid >= 0, conf, conf - 2.0)
         k = min(max_out, conf.shape[0])
-        top_conf, top_idx = jax.lax.top_k(conf, k)
+        _, top_idx = jax.lax.top_k(rank, k)
+        top_conf = conf[top_idx]
         top_cid = cid[top_idx]
         top_boxes = decoded[top_idx]
 
