@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Export a deployable model artifact from a training checkpoint.
+
+Strips optimizer state (Adamax moments double the size) and keeps
+(params, stats, step, epoch) — the inference-complete artifact, the
+analogue of the reference's shipped ``nets/tiny_yolo/tiny_yolo_gen1.ckpt``.
+
+Usage:
+  python scripts/export_model.py <training_ckpt_dir> <out_dir>
+"""
+
+import sys
+
+from snn_for_object_detection_tpu.train.checkpoint import (
+    load_single,
+    save_single,
+)
+
+
+def main():
+    src, dst = sys.argv[1], sys.argv[2]
+    state = load_single(src)
+    slim = {
+        "params": state["params"],
+        "stats": state["stats"],
+        "step": state.get("step", 0),
+        "epoch": state.get("epoch", 0),
+    }
+    save_single(dst, slim)
+    print(f"exported {src} -> {dst} (optimizer state stripped)")
+
+
+if __name__ == "__main__":
+    main()
