@@ -1,0 +1,136 @@
+"""Data-parallel correctness on the 8-device virtual CPU mesh.
+
+The TPU-native analogue of "test multi-node without a cluster"
+(SURVEY.md §4): the same train step must produce identical results on a
+1-device and an 8-device mesh (GSPMD gradient psum + cross-replica BN
+must be exact up to float noise), and sharded BN must see the GLOBAL
+batch statistics (sync-BN semantics, config/config.yaml:76).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from snn_for_object_detection_tpu.models import compile as C
+from snn_for_object_detection_tpu.models import spec as S
+from snn_for_object_detection_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from tests.test_detector import MicroSODa
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def make_train_step(model, optimizer, mesh):
+    rep = replicated(mesh)
+
+    def train_step(params, opt_state, stats, X, labels):
+        def loss_fn(p, stats):
+            preds, new_stats, _ = model.forward(p, stats, X, train=True)
+            return model.loss(preds, labels), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, stats
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_stats, loss
+
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, rep, rep, batch_sharding(mesh, 1),
+                      batch_sharding(mesh, 0)),
+        out_shardings=(rep, rep, rep, rep),
+    )
+
+
+def test_sharded_train_step_matches_single_device(rng):
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=0)
+    optimizer = optax.adamax(1e-3)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+
+    T, B = 4, 8
+    X = (rng.random((T, B, 32, 40, 2)) < 0.5).astype(np.float32)
+    labels = np.full((B, 2, 5), -1.0, np.float32)
+    labels[:, 0] = [0, 0.2, 0.2, 0.6, 0.6]
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(jax.devices()[:n_dev])
+        step = make_train_step(model, optimizer, mesh)
+        Xd, labd = shard_batch(mesh, X, labels)
+        p, o, s, loss = step(params, opt_state, stats, Xd, labd)
+        results[n_dev] = (jax.device_get(p), float(loss))
+
+    p1, l1 = results[1]
+    p8, l8 = results[8]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_bn_sees_global_batch(rng):
+    """With the batch sharded 8 ways, BN's batch mean must be the
+    global mean (sync-BN), not a per-shard mean."""
+    blk = C.compile_block([S.Norm()], 2, (4, 4))
+    params = blk.init(jax.random.PRNGKey(0))
+    stats = blk.init_stats()
+    mesh = make_mesh(jax.devices()[:8])
+
+    # Per-sample means differ wildly: shard-local BN would diverge.
+    X = np.zeros((8, 4, 4, 2), np.float32)
+    for b in range(8):
+        X[b] = b * 10.0 + rng.normal(size=(4, 4, 2))
+
+    rep = replicated(mesh)
+
+    def apply(params, stats, x):
+        ctx = C.Ctx(train=True)
+        y, new_stats, _ = blk.apply(params, stats, blk.init_state(8), x, ctx)
+        return y, new_stats
+
+    jit_apply = jax.jit(
+        apply, in_shardings=(rep, rep, batch_sharding(mesh, 0))
+    )
+    Xd = jax.device_put(X, batch_sharding(mesh, 0))
+    y, new_stats = jit_apply(params, stats, Xd)
+
+    global_mean = X.mean(axis=(0, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(new_stats["b0"]["l0"]["mean"]), 0.1 * global_mean,
+        rtol=1e-4, atol=1e-5,
+    )
+    # Output normalized against the GLOBAL mean: overall mean ~ 0
+    np.testing.assert_allclose(np.asarray(y).mean(), 0.0, atol=1e-4)
+
+
+def test_eval_detections_identical_across_meshes(rng):
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=0)
+    params, stats = model.init(jax.random.PRNGKey(1))
+    T, B = 4, 8
+    X = (rng.random((T, B, 32, 40, 2)) < 0.5).astype(np.float32)
+
+    outs = []
+    for n_dev in (1, 8):
+        mesh = make_mesh(jax.devices()[:n_dev])
+        rep = replicated(mesh)
+
+        def eval_step(params, stats, X):
+            preds, _, _ = model.forward(params, stats, X)
+            return model.detect(preds, max_out=20)
+
+        jit_eval = jax.jit(
+            eval_step, in_shardings=(rep, rep, batch_sharding(mesh, 1))
+        )
+        Xd = jax.device_put(X, batch_sharding(mesh, 1))
+        outs.append(jax.device_get(jit_eval(params, stats, Xd)))
+
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-5)
