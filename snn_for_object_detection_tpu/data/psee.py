@@ -122,6 +122,12 @@ class EventReader:
 
 
 def _decode(records: np.ndarray) -> Dict[str, np.ndarray]:
+    if len(records) >= 4096:  # native one-pass unpack for big slices
+        from snn_for_object_detection_tpu.native import decode_events_native
+
+        out = decode_events_native(records)
+        if out is not None:
+            return out
     word = np.ascontiguousarray(records[:, 1])
     return {
         "t": np.ascontiguousarray(records[:, 0]),

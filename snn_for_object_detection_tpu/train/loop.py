@@ -212,6 +212,11 @@ class Trainer:
         best_metric = -np.inf
         epochs_since_best = 0
 
+        if ckpt_path == "auto":
+            # fault-tolerant relaunch: resume from this run's own last
+            # checkpoint if one exists, else start fresh
+            last = os.path.join(self.out_dir, "checkpoints", "last")
+            ckpt_path = last if os.path.exists(last) else None
         if ckpt_path:
             restored = self.ckpt.restore(
                 ckpt_path,

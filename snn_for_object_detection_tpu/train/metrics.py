@@ -49,6 +49,13 @@ class MeanAveragePrecision:
         self._preds: List[Dict[str, np.ndarray]] = []
         self._targets: List[Dict[str, np.ndarray]] = []
 
+    def merge(self, other: "MeanAveragePrecision") -> None:
+        """Fold another accumulator's images into this one (multi-host
+        eval: each host accumulates its data shard, host 0 merges — the
+        analogue of torchmetrics' dist sync, soda.py:95)."""
+        self._preds.extend(other._preds)
+        self._targets.extend(other._targets)
+
     def update(
         self,
         preds: List[Dict[str, np.ndarray]],

@@ -140,3 +140,28 @@ def test_reset():
     m.reset()
     r = m.compute()
     assert r["map"] == 0.0
+
+
+def test_merge_across_hosts():
+    # two accumulators over disjoint shards == one over the union
+    boxes = np.array([_box(0.1, 0.1, 0.3, 0.3)])
+    shard = lambda: (
+        [{"boxes": boxes, "scores": np.array([0.9]), "labels": np.array([0])}],
+        [{"boxes": boxes, "labels": np.array([0])}],
+    )
+    miss = (
+        [{"boxes": np.array([_box(0.7, 0.7, 0.9, 0.9)]),
+          "scores": np.array([0.8]), "labels": np.array([0])}],
+        [{"boxes": boxes, "labels": np.array([0])}],
+    )
+    a, b_acc, whole = (
+        MeanAveragePrecision(), MeanAveragePrecision(), MeanAveragePrecision()
+    )
+    a.update(*shard())
+    b_acc.update(*miss)
+    whole.update(*shard())
+    whole.update(*miss)
+    a.merge(b_acc)
+    ra, rw = a.compute(), whole.compute()
+    for k in ra:
+        np.testing.assert_allclose(ra[k], rw[k], rtol=1e-9)

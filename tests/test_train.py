@@ -130,3 +130,32 @@ def test_plotter_writes_video(tmp_path):
     p(frames, interval=16, batch_idx="7")
     assert os.path.exists(tmp_path / "out7.avi")
     assert os.path.getsize(tmp_path / "out7.avi") > 0
+
+
+def test_fit_auto_resume(synth_root, tmp_path):
+    """ckpt_path='auto' resumes from the run's own last checkpoint."""
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+    dm = make_dm(synth_root)
+    out = str(tmp_path / "auto")
+    t1 = Trainer(max_epochs=1, limit_train_batches=2, limit_val_batches=1,
+                 check_val_every_n_epoch=1, out_dir=out, seed=0)
+    t1.fit(model, dm, ckpt_path="auto")  # fresh start (no ckpt yet)
+    t2 = Trainer(max_epochs=2, limit_train_batches=2, limit_val_batches=1,
+                 check_val_every_n_epoch=5, out_dir=out, seed=0)
+    result = t2.fit(model, dm, ckpt_path="auto")
+    assert result["step"] == 4  # 2 from run 1 + 2 more
+    assert result["epoch"] == 2
+
+
+def test_profile_hook_writes_trace(synth_root, tmp_path):
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+    dm = make_dm(synth_root)
+    prof = str(tmp_path / "prof")
+    trainer = Trainer(max_epochs=1, limit_train_batches=6,
+                      check_val_every_n_epoch=100,
+                      out_dir=str(tmp_path / "run"), profile_dir=prof, seed=0)
+    trainer.fit(model, dm)
+    import glob as g
+    assert g.glob(os.path.join(prof, "**", "*.trace.json.gz"),
+                  recursive=True) or g.glob(
+        os.path.join(prof, "**", "*.xplane.pb"), recursive=True)
