@@ -89,3 +89,14 @@ def test_default_config_instantiates():
 
     trainer = Trainer(**cfg["trainer"])
     assert trainer.limit_train_batches == 100
+
+
+def test_model_summary():
+    from snn_for_object_detection_tpu.models import TinyYolo
+    from snn_for_object_detection_tpu.utils.summary import summarize
+
+    m = TinyYolo(num_classes=2, in_hw=(240, 304))
+    s = summarize(m)
+    assert s["params"] == 4_228_544
+    # conv FLOPs/frame: ground truth for perf claims (docs/perf.md)
+    assert 7.0e9 < s["conv_flops_per_frame"] < 8.5e9
