@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Streaming single-frame inference latency (the SNN deployment story:
+O(1) per-frame, no sliding-window reprocessing; soda.py:202-233).
+
+Measures the jitted ``predict`` step (one frame through the stateful
+network + detection decode) at batch 1. The tunnel's ~3.4 ms dispatch
+RTT is reported separately from device time (chained execution).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snn_for_object_detection_tpu.models import TinyYolo
+
+H, W = 240, 304
+CHAIN = 32
+
+
+def main():
+    model = TinyYolo(
+        num_classes=2, in_hw=(H, W),
+        compute_dtype=jnp.bfloat16, state_dtype=jnp.bfloat16, remat=False,
+    )
+    params, stats = model.init(jax.random.PRNGKey(0))
+    state0 = model.init_state(1)
+    frames = jnp.asarray(
+        np.random.default_rng(0).random((CHAIN, 1, H, W, 2)) < 0.1, jnp.uint8
+    )
+
+    # device time: CHAIN frames chained in one dispatch
+    def run_chain(params, stats, frames, state):
+        def body(state, x):
+            dets, state = model.predict(params, stats, x, state)
+            return state, dets[..., 1].sum()
+        state, sums = jax.lax.scan(body, state, frames)
+        return sums.sum()
+
+    chained = jax.jit(run_chain)
+    float(chained(params, stats, frames, state0))  # compile
+    t0 = time.perf_counter()
+    float(chained(params, stats, frames, state0))
+    per_frame_device = (time.perf_counter() - t0) / CHAIN
+
+    # end-to-end: one dispatch per frame (includes tunnel RTT)
+    predict = jax.jit(lambda p, s, x, st: model.predict(p, s, x, st))
+    dets, state = predict(params, stats, frames[0], state0)
+    jax.block_until_ready(dets)
+    t0 = time.perf_counter()
+    state = state0
+    for t in range(CHAIN):
+        dets, state = predict(params, stats, frames[t], state)
+    float(dets[..., 1].sum())
+    per_frame_e2e = (time.perf_counter() - t0) / CHAIN
+
+    print(
+        json.dumps(
+            {
+                "metric": "gen1_streaming_latency_per_frame",
+                "device_ms": round(per_frame_device * 1e3, 2),
+                "end_to_end_ms": round(per_frame_e2e * 1e3, 2),
+                "unit": "ms/frame (batch 1, incl. NMS decode)",
+                "realtime_budget_ms": 16,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

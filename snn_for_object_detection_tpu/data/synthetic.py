@@ -17,7 +17,7 @@ reference's structured dtype (datasets.py:255,264-269).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -20,8 +20,6 @@ The class itself is configuration + compiled pure functions; parameters
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

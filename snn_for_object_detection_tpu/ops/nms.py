@@ -24,7 +24,6 @@ how the reference treats NMS-suppressed anchors (box.py:135-141).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

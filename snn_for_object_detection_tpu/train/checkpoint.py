@@ -13,10 +13,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

@@ -22,8 +22,7 @@ import itertools
 import json
 import os
 import time
-from functools import partial
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ from __future__ import annotations
 import copy
 import importlib
 import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import yaml
 

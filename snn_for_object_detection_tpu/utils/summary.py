@@ -12,7 +12,6 @@ from typing import Dict, List, Tuple
 
 import jax
 
-from snn_for_object_detection_tpu.models import compile as C
 from snn_for_object_detection_tpu.models import spec as S
 
 
