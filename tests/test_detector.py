@@ -172,3 +172,25 @@ def test_tiny_yolo_structure():
     # (README.md:39 says "~3M"; the true count of the reference
     # architecture is 4,228,544).
     assert n == 4_228_544, n
+
+
+def test_spike_analysis_from_records():
+    """StateStorage-analogue end-to-end: record -> analyze."""
+    from snn_for_object_detection_tpu.utils.analysis import spike_stats
+
+    class RecSODa(MicroSODa):
+        def backbone_cfgs(self):
+            return [Conv(8, 3, 2), Norm(), LIF(state_storage=True)]
+
+    m = RecSODa(num_classes=2, in_hw=(32, 40))
+    params, stats = m.init(jax.random.PRNGKey(0))
+    X = jnp.asarray(
+        np.random.default_rng(6).random((8, 2, 32, 40, 2)) < 0.5, jnp.float32
+    )
+    _, _, _, records = m.forward_with_records(params, stats, X)
+    report = spike_stats(records)
+    assert len(report) == 1
+    (layer_stats,) = report.values()
+    assert 0.0 <= layer_stats["firing_rate"] <= 1.0
+    assert 0.0 <= layer_stats["dead_fraction"] <= 1.0
+    assert "v_mean" in layer_stats
