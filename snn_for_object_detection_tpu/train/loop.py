@@ -331,15 +331,22 @@ class Trainer:
     ) -> Dict[str, float]:
         map_metric = MeanAveragePrecision()
         losses = []
-        for X, labels in itertools.islice(data_iter, limit):
-            key, sub = jax.random.split(key)
-            Xd, labd = shard_batch(self.mesh, X, labels)
-            loss, dets = jit_eval(params, stats, Xd, labd, sub)
-            losses.append(float(loss))
-            preds, targets = detections_to_map_inputs(
-                np.asarray(dets), labels
-            )
-            map_metric.update(preds, targets)
+        try:
+            for X, labels in itertools.islice(data_iter, limit):
+                key, sub = jax.random.split(key)
+                Xd, labd = shard_batch(self.mesh, X, labels)
+                loss, dets = jit_eval(params, stats, Xd, labd, sub)
+                losses.append(float(loss))
+                preds, targets = detections_to_map_inputs(
+                    np.asarray(dets), labels
+                )
+                map_metric.update(preds, targets)
+        finally:
+            # close the loader generator so its worker threads stop now
+            # (islice alone would leave them running until GC)
+            close = getattr(data_iter, "close", None)
+            if close is not None:
+                close()
         result = map_metric.compute()
         out = {f"{prefix}_loss": float(np.mean(losses)) if losses else 0.0}
         out.update({k: float(v) for k, v in result.items()})

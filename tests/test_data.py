@@ -187,3 +187,22 @@ def test_generate_recording_event_format():
     assert set(np.unique(p)) <= {0, 1}
     assert len(gt) > 0
     assert gt["ts"].max() < 200_000
+
+
+def test_loader_close_stops_workers(synth_root):
+    import threading
+    import time as _time
+
+    dm = PropheseeDataModule(
+        data_dir=synth_root, dataset="gen1", batch_size=2, num_workers=2,
+        num_load_file=2, num_steps=6, time_step=16, time_shift=3,
+    )
+    before = threading.active_count()
+    it = dm.train_loader()
+    next(it)
+    assert threading.active_count() > before
+    it.close()
+    deadline = _time.time() + 5
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert threading.active_count() == before
