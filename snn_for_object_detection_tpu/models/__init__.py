@@ -24,6 +24,7 @@ from snn_for_object_detection_tpu.models.spec import (
 from snn_for_object_detection_tpu.models.detector import SODa
 from snn_for_object_detection_tpu.models.tiny_yolo import TinyYolo
 from snn_for_object_detection_tpu.models.vgg import VggSNN
+from snn_for_object_detection_tpu.models.yolo import YoloSNN
 
 __all__ = [
     "ALIF",
@@ -48,4 +49,5 @@ __all__ = [
     "TinyYolo",
     "Up",
     "VggSNN",
+    "YoloSNN",
 ]

@@ -92,3 +92,37 @@ def test_vgg_plif_has_tau_params():
 def test_vgg_rejects_unknown_neuron():
     with pytest.raises(ValueError, match="neuron must be one of"):
         VggSNN(num_classes=2, in_hw=(64, 80), neuron="bogus")
+
+
+def test_yolo_snn_scales():
+    from snn_for_object_detection_tpu.models import YoloSNN
+
+    tiny = YoloSNN(num_classes=2, in_hw=(64, 80), scale="tiny")
+    s = YoloSNN(num_classes=2, in_hw=(64, 80), scale="s")
+
+    def count(m):
+        p, _ = m.init(jax.random.PRNGKey(0))
+        return sum(x.size for x in jax.tree.leaves(p))
+
+    n_tiny, n_s = count(tiny), count(s)
+    assert n_s > 1.5 * n_tiny
+    # "tiny" must reproduce the reference TinyYolo table exactly
+    from snn_for_object_detection_tpu.models import TinyYolo
+
+    ref = TinyYolo(num_classes=2, in_hw=(64, 80))
+    assert n_tiny == count(ref)
+
+    with pytest.raises(ValueError):
+        YoloSNN(num_classes=2, in_hw=(64, 80), scale="xxl")
+
+
+def test_yolo_snn_forward():
+    from snn_for_object_detection_tpu.models import YoloSNN
+
+    m = YoloSNN(num_classes=7, in_hw=(64, 80), scale="s", time_window=0)
+    params, stats = m.init(jax.random.PRNGKey(0))
+    X = jnp.asarray(
+        np.random.default_rng(0).random((3, 1, 64, 80, 2)) < 0.3, jnp.float32
+    )
+    (cls_p, box_p), _, _ = m.forward(params, stats, X)
+    assert cls_p.shape[-1] == 8  # 7 classes + background
