@@ -85,6 +85,7 @@ class Trainer:
         mesh=None,
         debug_nans: bool = False,
         profile_dir: Optional[str] = None,
+        gradient_clip_norm: Optional[float] = None,
     ):
         self.max_epochs = max_epochs
         self.min_epochs = min_epochs
@@ -100,6 +101,7 @@ class Trainer:
         self._mesh = mesh  # user-provided; else sized lazily per batch
         self.debug_nans = debug_nans
         self.profile_dir = profile_dir
+        self.gradient_clip_norm = gradient_clip_norm
         self.logger = MetricsLogger(out_dir)
         self.ckpt = CheckpointManager(
             os.path.join(out_dir, "checkpoints"),
@@ -138,7 +140,16 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _build_steps(self, model):
-        optimizer = optax.adamax(model.learning_rate)
+        # Adamax (soda.py:135-136), optionally behind global-norm
+        # gradient clipping (the Lightning gradient_clip_* analogue;
+        # long-BPTT SNN training can blow up without it).
+        if self.gradient_clip_norm:
+            optimizer = optax.chain(
+                optax.clip_by_global_norm(self.gradient_clip_norm),
+                optax.adamax(model.learning_rate),
+            )
+        else:
+            optimizer = optax.adamax(model.learning_rate)
         rep = replicated(self.mesh)
         feat_sh = batch_sharding(self.mesh, 1)
         lab_sh = batch_sharding(self.mesh, 0)
