@@ -159,3 +159,14 @@ def test_profile_hook_writes_trace(synth_root, tmp_path):
     assert g.glob(os.path.join(prof, "**", "*.trace.json.gz"),
                   recursive=True) or g.glob(
         os.path.join(prof, "**", "*.xplane.pb"), recursive=True)
+
+
+def test_gradient_clipping(synth_root, tmp_path):
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+    dm = make_dm(synth_root)
+    trainer = Trainer(max_epochs=1, limit_train_batches=2,
+                      check_val_every_n_epoch=100,
+                      out_dir=str(tmp_path / "clip"),
+                      gradient_clip_norm=1.0, seed=0)
+    result = trainer.fit(model, dm)
+    assert result["step"] == 2
