@@ -23,6 +23,23 @@ import numpy as np
 
 from snn_for_object_detection_tpu.data.psee import write_dat
 
+def gt_dtype(time_field: str = "ts") -> np.dtype:
+    """GT structured dtype; GEN1 uses 'ts', 1Mpx uses 't'
+    (datasets.py:213,217)."""
+    return np.dtype(
+        [
+            (time_field, "<u8"),
+            ("x", "<f4"),
+            ("y", "<f4"),
+            ("w", "<f4"),
+            ("h", "<f4"),
+            ("class_id", "<u4"),
+            ("confidence", "<f4"),
+            ("track_id", "<u4"),
+        ]
+    )
+
+
 GT_DTYPE = np.dtype(
     [
         ("ts", "<u8"),
@@ -48,6 +65,7 @@ def generate_recording(
     background_events_per_frame: int = 800,
     gt_period_ms: int = 100,
     seed: int = 0,
+    time_field: str = "ts",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Generate one recording.
 
@@ -124,7 +142,7 @@ def generate_recording(
     y = np.concatenate(ys_list)
     p = np.concatenate(ps_list)
     order = np.argsort(t, kind="stable")
-    gt = np.array(gt_rows, dtype=GT_DTYPE)
+    gt = np.array(gt_rows, dtype=gt_dtype(time_field))
     return t[order], x[order], y[order], p[order], gt
 
 
@@ -148,6 +166,7 @@ def make_synthetic_dataset(
     for split_i, split in enumerate(splits):
         d = os.path.join(root, dataset, split)
         os.makedirs(d, exist_ok=True)
+        time_field = "t" if dataset == "1mpx" else "ts"
         for i in range(records_per_split):
             t, x, y, p, gt = generate_recording(
                 duration_ms=duration_ms,
@@ -155,6 +174,7 @@ def make_synthetic_dataset(
                 width=width,
                 num_classes=num_classes,
                 seed=seed + 1000 * split_i + i,
+                time_field=time_field,
             )
             write_dat(
                 os.path.join(d, f"rec{i}_td.dat"), t, x, y, p, width, height

@@ -206,3 +206,22 @@ def test_loader_close_stops_workers(synth_root):
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.1)
     assert threading.active_count() == before
+
+
+def test_1mpx_pipeline(tmp_path):
+    """High-res path: synthetic 1Mpx recording through the ST stream
+    (7 classes, 1280x720, x-clip active; datasets.py:216-218,425-426)."""
+    root = make_synthetic_dataset(
+        str(tmp_path), dataset="1mpx", records_per_split=1, duration_ms=800,
+        height=720, width=1280, num_classes=7, splits=("train",),
+    )
+    dm = PropheseeDataModule(
+        data_dir=root, dataset="1mpx", batch_size=1, num_workers=1,
+        num_load_file=1, num_steps=6, time_step=16, time_shift=3,
+    )
+    stream = dm._make_stream("train", 0, 1)
+    assert stream.clip_x  # 1Mpx x-clip enabled
+    features, labels = next(iter(stream))
+    assert features.shape == (6, 720, 1280, 2)
+    assert dm.get_labels()[0] == "pedestrians"
+    assert labels[:, 0].max() < 7
