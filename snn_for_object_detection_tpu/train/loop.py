@@ -86,7 +86,17 @@ class Trainer:
         debug_nans: bool = False,
         profile_dir: Optional[str] = None,
         gradient_clip_norm: Optional[float] = None,
+        accumulate_grad_batches: int = 1,
+        fast_dev_run: bool = False,
     ):
+        if fast_dev_run:
+            # one-batch smoke run (the Lightning flag, config.yaml:53)
+            max_epochs = 1
+            limit_train_batches = 1
+            limit_val_batches = 1
+            limit_test_batches = 1
+            check_val_every_n_epoch = 1
+            min_epochs = 0
         self.max_epochs = max_epochs
         self.min_epochs = min_epochs
         self.limit_train_batches = limit_train_batches
@@ -102,6 +112,8 @@ class Trainer:
         self.debug_nans = debug_nans
         self.profile_dir = profile_dir
         self.gradient_clip_norm = gradient_clip_norm
+        self.accumulate_grad_batches = max(accumulate_grad_batches, 1)
+        self.fast_dev_run = fast_dev_run
         self.logger = MetricsLogger(out_dir)
         self.ckpt = CheckpointManager(
             os.path.join(out_dir, "checkpoints"),
@@ -150,6 +162,12 @@ class Trainer:
             )
         else:
             optimizer = optax.adamax(model.learning_rate)
+        if self.accumulate_grad_batches > 1:
+            # gradient accumulation (config.yaml:68): params update every
+            # N micro-batches, gradients averaged by MultiSteps
+            optimizer = optax.MultiSteps(
+                optimizer, every_k_schedule=self.accumulate_grad_batches
+            )
         rep = replicated(self.mesh)
         feat_sh = batch_sharding(self.mesh, 1)
         lab_sh = batch_sharding(self.mesh, 0)

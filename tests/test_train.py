@@ -170,3 +170,21 @@ def test_gradient_clipping(synth_root, tmp_path):
                       gradient_clip_norm=1.0, seed=0)
     result = trainer.fit(model, dm)
     assert result["step"] == 2
+
+
+def test_fast_dev_run(synth_root, tmp_path):
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+    trainer = Trainer(out_dir=str(tmp_path / "fdr"), fast_dev_run=True, seed=0)
+    result = trainer.fit(model, make_dm(synth_root))
+    assert result["step"] == 1
+    assert result["epoch"] == 1
+
+
+def test_accumulate_grad_batches(synth_root, tmp_path):
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+    trainer = Trainer(
+        max_epochs=1, limit_train_batches=4, check_val_every_n_epoch=100,
+        out_dir=str(tmp_path / "acc"), accumulate_grad_batches=2, seed=0,
+    )
+    result = trainer.fit(model, make_dm(synth_root))
+    assert result["step"] == 4  # 4 micro-steps = 2 optimizer updates
