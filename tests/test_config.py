@@ -100,3 +100,15 @@ def test_model_summary():
     assert s["params"] == 4_228_544
     # conv FLOPs/frame: ground truth for perf claims (docs/perf.md)
     assert 7.0e9 < s["conv_flops_per_frame"] < 8.5e9
+
+
+def test_vgg_config_overlay():
+    """class_path swapping from YAML (subclass_mode_model parity)."""
+    cfg = load_config(["config/config.yaml", "config/vgg.yaml"])
+    model = instantiate(cfg["model"])
+    from snn_for_object_detection_tpu.models import VggSNN
+
+    assert isinstance(model, VggSNN)
+    assert model.neuron == "plif"
+    # deep-merged defaults from the base config still apply
+    assert model.loss_ratio == 0.04
