@@ -17,7 +17,7 @@ import optax
 
 from snn_for_object_detection_tpu.models import TinyYolo
 
-T, B = 32, 8
+T, B = 32, 4
 H, W = 240, 304
 
 
