@@ -40,7 +40,7 @@ def bench_tpu() -> float:
     # storage (the LIF state HBM traffic dominates; bf16 states measure
     # 1.6x over fp32 end-to-end), uint8 input frames.
     model = TinyYolo(num_classes=2, in_hw=(H, W), compute_dtype=jnp.bfloat16,
-                     state_dtype=jnp.bfloat16, remat=False)
+                     state_dtype=jnp.bfloat16, remat=False, scan_unroll=2)
     params, stats = model.init(jax.random.PRNGKey(0))
     X = jnp.asarray(
         np.random.default_rng(0).random((T, B, H, W, 2)) < 0.1, jnp.uint8

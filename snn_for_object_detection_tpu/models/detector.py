@@ -66,6 +66,7 @@ class SODa:
         compute_dtype=jnp.float32,
         state_dtype=jnp.float32,
         remat: bool = True,
+        scan_unroll: int = 1,
     ):
         self.num_classes = num_classes
         self.in_hw = tuple(in_hw)
@@ -78,6 +79,9 @@ class SODa:
         self.compute_dtype = compute_dtype
         self.state_dtype = state_dtype
         self.remat = remat
+        # lax.scan unroll factor: 2 measures ~9% faster at inference
+        # (cross-step fusion); 1 keeps compiles fastest.
+        self.scan_unroll = scan_unroll
 
         self.backbone = C.compile_block(
             self.backbone_cfgs(), in_channels, self.in_hw, "backbone",
@@ -309,7 +313,8 @@ class SODa:
             body = jax.checkpoint(body)
 
         (stats, state, preds), _ = jax.lax.scan(
-            body, (stats, state, (cls0, box0)), xs
+            body, (stats, state, (cls0, box0)), xs,
+            unroll=self.scan_unroll,
         )
         return preds, stats, state
 

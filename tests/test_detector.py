@@ -194,3 +194,20 @@ def test_spike_analysis_from_records():
     assert 0.0 <= layer_stats["firing_rate"] <= 1.0
     assert 0.0 <= layer_stats["dead_fraction"] <= 1.0
     assert "v_mean" in layer_stats
+
+
+def test_scan_unroll_parity(micro_vars):
+    """unroll=2 must produce identical results to unroll=1."""
+    params, stats = micro_vars
+    from tests.test_detector import MicroSODa
+
+    X = jnp.asarray(
+        np.random.default_rng(7).random((6, 1, 32, 40, 2)) < 0.5, jnp.float32
+    )
+    outs = []
+    for unroll in (1, 2):
+        m = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=4,
+                      scan_unroll=unroll)
+        (cls_p, box_p), _, _ = m.forward(params, stats, X, train=True)
+        outs.append(np.asarray(cls_p))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
