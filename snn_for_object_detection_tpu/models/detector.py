@@ -331,6 +331,14 @@ class SODa:
 
         :param labels: [B, N, 5] (class, x1, y1, x2, y2), -1-padded.
         """
+        if labels.shape[-1] != 5:
+            raise ValueError(
+                f"loss expects [B, N, 5] single-target labels, got "
+                f"{labels.shape}. Multi-target windows (one_label=False, "
+                "6 columns with a leading frame index) are for analysis/"
+                "prediction, not training — the reference has the same "
+                "constraint (roi.py:41 reads label[:, 1:] as 4 box coords)."
+            )
         cls_preds, bbox_preds = preds
         bbox_offset, bbox_mask, class_labels = matching.match_targets(
             self.anchors, labels, self.iou_threshold

@@ -211,3 +211,14 @@ def test_scan_unroll_parity(micro_vars):
         (cls_p, box_p), _, _ = m.forward(params, stats, X, train=True)
         outs.append(np.asarray(cls_p))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+
+
+def test_loss_rejects_mt_labels(micro, micro_vars):
+    params, stats = micro_vars
+    preds = (
+        jnp.zeros((1, micro.num_anchors, 3)),
+        jnp.zeros((1, micro.num_anchors, 4)),
+    )
+    mt_labels = jnp.zeros((1, 3, 6))  # (frame_idx, class, xyxy)
+    with pytest.raises(ValueError, match="single-target"):
+        micro.loss(preds, mt_labels)
