@@ -194,10 +194,12 @@ class STStream(_StreamBase):
         )
         if native is not None:
             features, n_events = native
+            # Note: n_events == 0 also lands here (0 < threshold), so the
+            # file is retried rather than dropped — reader.done catches
+            # exhausted files on the next call. The reference behaves
+            # identically (datasets.py:417 fires before the empty check).
             if (n_events // self.num_steps) < self.events_threshold:
                 return None, True
-            if n_events == 0:
-                return None, False
             return (features, labels[:, 1:].copy()), True
 
         events = _decode(records)
@@ -265,6 +267,12 @@ class MTStream(_StreamBase):
             time_idx = (
                 events["t"].astype(np.int64) // self.time_step_us - start_time
             )
+            # the loaded delta starts at the (non-step-aligned) cursor, so
+            # trailing events can floor to index == num_steps; drop them
+            # exactly like the native kernel's window check
+            sel = time_idx < self.num_steps
+            events = {k: v[sel] for k, v in events.items()}
+            time_idx = time_idx[sel]
             features = rasterize(
                 events, time_idx, self.num_steps, self.height, self.width,
                 dtype=self.frame_dtype,

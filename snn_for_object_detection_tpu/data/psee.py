@@ -133,7 +133,10 @@ def _decode(records: np.ndarray) -> Dict[str, np.ndarray]:
         "t": np.ascontiguousarray(records[:, 0]),
         "x": (word & 0x3FFF).astype(np.uint16),
         "y": ((word >> 14) & 0x3FFF).astype(np.uint16),
-        "p": ((word >> 28) & 0xF).astype(np.uint8),
+        # CD polarity is 0/1; mask to one bit so a record with spare
+        # header bits set can never index past the 2 polarity channels
+        # (matches the native rasterizer's & 0x1)
+        "p": ((word >> 28) & 0x1).astype(np.uint8),
     }
 
 

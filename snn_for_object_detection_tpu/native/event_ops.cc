@@ -27,7 +27,9 @@ void decode_events(const uint32_t* records, int64_t n,
     t[i] = ts;
     x[i] = static_cast<uint16_t>(w & 0x3FFF);
     y[i] = static_cast<uint16_t>((w >> 14) & 0x3FFF);
-    p[i] = static_cast<uint8_t>((w >> 28) & 0xF);
+    // CD polarity is one bit; mask like rasterize_records so both
+    // decode paths agree even on records with spare bits set
+    p[i] = static_cast<uint8_t>((w >> 28) & 0x1);
   }
 }
 

@@ -71,6 +71,9 @@ class CheckpointManager:
             stale = os.path.join(self.directory, self._latest_name)
             if os.path.exists(stale):
                 shutil.rmtree(stale)
+            stale_meta = stale + ".meta.json"
+            if os.path.exists(stale_meta):
+                os.remove(stale_meta)
         self._ckpt.save(path, state)
         self._latest_name = name
         if meta is not None:
@@ -99,14 +102,15 @@ class CheckpointManager:
         )
         for name, _ in ranked[self.save_top_k :]:
             path = os.path.join(self.directory, name)
-            # never delete the newest checkpoint's data — 'last' points
-            # at it and resume must always work; it is removed once a
-            # newer save supersedes it (see save())
-            if name != self._latest_name and os.path.exists(path):
-                shutil.rmtree(path)
-            meta = path + ".meta.json"
-            if os.path.exists(meta):
-                os.remove(meta)
+            # never delete the newest checkpoint's data or metadata —
+            # 'last' points at it and resume must always work; both are
+            # removed once a newer save supersedes it (see save())
+            if name != self._latest_name:
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                meta = path + ".meta.json"
+                if os.path.exists(meta):
+                    os.remove(meta)
             del self._index[name]
 
     def best_path(self) -> Optional[str]:

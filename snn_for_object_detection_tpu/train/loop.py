@@ -238,7 +238,7 @@ class Trainer:
         step = 0
         epoch = 0
         best_metric = -np.inf
-        epochs_since_best = 0
+        checks_since_best = 0
 
         if ckpt_path == "auto":
             # fault-tolerant relaunch: resume from this run's own last
@@ -246,21 +246,31 @@ class Trainer:
             last = os.path.join(self.out_dir, "checkpoints", "last")
             ckpt_path = last if os.path.exists(last) else None
         if ckpt_path:
-            restored = self.ckpt.restore(
-                ckpt_path,
-                target={
-                    "params": params,
-                    "stats": stats,
-                    "opt_state": opt_state,
-                    "step": 0,
-                    "epoch": 0,
-                },
-            )
+            target = {
+                "params": params,
+                "stats": stats,
+                "opt_state": opt_state,
+                "step": 0,
+                "epoch": 0,
+                "best_metric": 0.0,
+                "checks_since_best": 0,
+            }
+            try:
+                restored = self.ckpt.restore(ckpt_path, target=target)
+            except Exception:
+                # checkpoints written before early-stopping state was
+                # persisted lack the two callback keys
+                del target["best_metric"], target["checks_since_best"]
+                restored = self.ckpt.restore(ckpt_path, target=target)
             params = restored["params"]
             stats = restored["stats"]
             opt_state = restored["opt_state"]
             step = int(restored["step"])
             epoch = int(restored["epoch"])
+            # early-stopping callback state survives restarts (Lightning
+            # checkpoints restore it too)
+            best_metric = float(restored.get("best_metric", -np.inf))
+            checks_since_best = int(restored.get("checks_since_best", 0))
             print(f"resumed from {ckpt_path} at step {step}", flush=True)
 
         train_iter = data.train_loader()
@@ -325,19 +335,24 @@ class Trainer:
                         "opt_state": opt_state,
                         "step": step,
                         "epoch": epoch,
+                        "best_metric": best_metric,
+                        "checks_since_best": checks_since_best,
                     },
                     metric=metric,
                     meta={"metrics": metrics, "epoch": epoch},
                 )
+                # Patience counts VALIDATION CHECKS, matching Lightning's
+                # EarlyStopping semantics (patience=30 = 30 stagnant
+                # checks, not 30 epochs; config.yaml:40-44).
                 if metric > best_metric:
                     best_metric = metric
-                    epochs_since_best = 0
+                    checks_since_best = 0
                 else:
-                    epochs_since_best += self.check_val_every_n_epoch
+                    checks_since_best += 1
                 if (
                     epoch >= self.min_epochs
                     and self.early_stopping_patience > 0
-                    and epochs_since_best >= self.early_stopping_patience
+                    and checks_since_best >= self.early_stopping_patience
                 ):
                     print(
                         f"early stopping at epoch {epoch} "

@@ -114,34 +114,36 @@ class MeanAveragePrecision:
         ar = {k: np.full((n_thr, len(classes)), np.nan) for k in MAX_DETS}
 
         for ci, cls in enumerate(classes):
-            per_maxdet = {
-                k: {"scores": [], "tp": [], "n_gt": 0} for k in MAX_DETS
-            }
+            # Greedy matching in score order is prefix-stable: the
+            # maxDet=k result is exactly the first k columns of the
+            # maxDet=100 result — so match once per image and slice.
+            per_image = []
+            n_gt = 0
             for p, t in zip(self._preds, self._targets):
                 p_sel = p["labels"] == cls
                 t_sel = t["labels"] == cls
-                for k in MAX_DETS:
-                    scores, tp, g = self._match_image(
-                        p["boxes"][p_sel], p["scores"][p_sel],
-                        t["boxes"][t_sel], k,
-                    )
-                    per_maxdet[k]["scores"].append(scores)
-                    per_maxdet[k]["tp"].append(tp)
-                    per_maxdet[k]["n_gt"] += g
+                scores, tp, g = self._match_image(
+                    p["boxes"][p_sel], p["scores"][p_sel],
+                    t["boxes"][t_sel], MAX_DETS[-1],
+                )
+                per_image.append((scores, tp))
+                n_gt += g
 
-            # AP uses the largest maxDets (COCO: 100)
-            k_ap = MAX_DETS[-1]
-            n_gt = per_maxdet[k_ap]["n_gt"]
             if n_gt == 0:
                 continue
-            scores = np.concatenate(per_maxdet[k_ap]["scores"])
-            tps = np.concatenate(per_maxdet[k_ap]["tp"], axis=1)
+            scores = np.concatenate([s for s, _ in per_image])
+            tps = np.concatenate([tp for _, tp in per_image], axis=1)
             if tps.shape[1] == 0:
                 # GT exists but no predictions: AP/AR are 0, not NaN
                 ap[:, ci] = 0.0
                 for k in MAX_DETS:
                     ar[k][:, ci] = 0.0
                 continue
+            for k in MAX_DETS:
+                tp_k = np.concatenate(
+                    [tp[:, :k] for _, tp in per_image], axis=1
+                )
+                ar[k][:, ci] = tp_k.sum(axis=1) / n_gt
             order = np.argsort(-scores, kind="stable")
             tps = tps[:, order]
             tp_cum = np.cumsum(tps, axis=1)
@@ -157,12 +159,6 @@ class MeanAveragePrecision:
                 ap[ti, ci] = np.mean(
                     np.where(idx < len(prec_env), prec_env[np.minimum(idx, len(prec_env) - 1)], 0.0)
                 )
-            for k in MAX_DETS:
-                n_gt_k = per_maxdet[k]["n_gt"]
-                if n_gt_k == 0:
-                    continue
-                tps_k = np.concatenate(per_maxdet[k]["tp"], axis=1)
-                ar[k][:, ci] = tps_k.sum(axis=1) / n_gt_k
 
         def nanmean(x):
             return float(np.nanmean(x)) if not np.isnan(x).all() else 0.0

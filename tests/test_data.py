@@ -225,3 +225,54 @@ def test_1mpx_pipeline(tmp_path):
     assert features.shape == (6, 720, 1280, 2)
     assert dm.get_labels()[0] == "pedestrians"
     assert labels[:, 0].max() < 7
+
+
+def test_mt_fallback_clamps_trailing_events(tmp_path, monkeypatch):
+    """Events after a non-step-aligned cursor can floor to
+    time_idx == num_steps; the numpy fallback must drop them like the
+    native kernel instead of crashing (regression)."""
+    import snn_for_object_detection_tpu.data.prophesee as P
+
+    # events start at 5000us (not step-aligned), run past the window
+    t = np.arange(5_000, 700_000, 500, dtype=np.uint32)
+    n = len(t)
+    d = tmp_path / "gen1" / "train"
+    d.mkdir(parents=True)
+    write_dat(str(d / "m_td.dat"), t, np.zeros(n, np.uint16),
+              np.zeros(n, np.uint16), np.zeros(n, np.uint8))
+    from snn_for_object_detection_tpu.data.synthetic import GT_DTYPE
+
+    np.save(str(d / "m_bbox.npy"),
+            np.array([(100_000, 10, 10, 50, 50, 0, 1.0, 0)], GT_DTYPE))
+
+    monkeypatch.setattr(P, "rasterize_records_native", lambda *a, **k: None)
+    dm = PropheseeDataModule(
+        data_dir=str(tmp_path), dataset="gen1", num_workers=1,
+        num_load_file=1, num_steps=42, time_step=16, one_label=False,
+    )
+    stream = dm._make_stream("train", 0, 1)
+    features, labels = next(iter(stream))  # must not raise IndexError
+    assert features.shape[0] == 42
+
+
+def test_polarity_masked_to_one_bit(tmp_path):
+    """Records with spare bits 29-31 set must decode p to 0/1 on both
+    paths (regression: numpy used & 0xF and crashed the rasterizer)."""
+    path = str(tmp_path / "p_td.dat")
+    # craft a raw record with p-field = 0b1011 (11)
+    records = np.array([[100, 5 | (3 << 14) | (11 << 28)]], dtype="<u4")
+    header = b"% synthetic\n"
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(bytes([0x0C, 8]))
+        f.write(records.tobytes())
+    r = EventReader(path)
+    ev = r.load_delta_t(1000)
+    assert ev["p"][0] == 1  # 11 & 1
+
+    from snn_for_object_detection_tpu.native import (
+        decode_events_native, is_available,
+    )
+    if is_available():
+        out = decode_events_native(records)
+        assert out["p"][0] == 1

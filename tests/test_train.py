@@ -188,3 +188,20 @@ def test_accumulate_grad_batches(synth_root, tmp_path):
     )
     result = trainer.fit(model, make_dm(synth_root))
     assert result["step"] == 4  # 4 micro-steps = 2 optimizer updates
+
+
+def test_early_stopping_counts_checks(synth_root, tmp_path):
+    """patience counts stagnant VALIDATION CHECKS (Lightning semantics),
+    not epochs (regression: patience=3 with check_every=2 must allow 3
+    stagnant checks = 6 epochs, not stop after 2 checks)."""
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+    dm = make_dm(synth_root)
+    trainer = Trainer(
+        max_epochs=10, limit_train_batches=1, limit_val_batches=1,
+        check_val_every_n_epoch=2, early_stopping_patience=3,
+        min_epochs=0, out_dir=str(tmp_path / "es"), seed=0,
+    )
+    result = trainer.fit(model, dm)
+    # an untrained model: map stays 0 -> first check sets best, 3 more
+    # stagnant checks trigger the stop at epoch 8 (checks at 2,4,6,8)
+    assert result["epoch"] == 8
