@@ -27,6 +27,13 @@ def build(cfg):
 
     model = instantiate(cfg["model"])
     data = instantiate(cfg["data"])
+    if tuple(model.in_hw) != (data.height, data.width):
+        raise ValueError(
+            f"model.in_hw={tuple(model.in_hw)} does not match the "
+            f"'{data.dataset}' dataset geometry "
+            f"({data.height}, {data.width}) — set model.init_args.in_hw "
+            "accordingly (gen1: [240, 304], 1mpx: [720, 1280])"
+        )
     trainer_cfg = dict(cfg.get("trainer") or {})
     from snn_for_object_detection_tpu.train import Trainer
 

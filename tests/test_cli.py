@@ -80,3 +80,13 @@ def test_loader_deterministic_with_single_worker(synth_root):
     (x1, l1), (x2, l2) = first_batch(), first_batch()
     np.testing.assert_array_equal(x1, x2)
     np.testing.assert_array_equal(l1, l2)
+
+
+def test_cli_geometry_mismatch_clear_error(synth_root, tmp_path):
+    with pytest.raises(ValueError, match="dataset geometry"):
+        cli.main([
+            "fit", "--config", "config/config.yaml",
+            f"--data.init_args.data_dir={synth_root}",
+            "--model.init_args.in_hw=[64,80]",
+            f"--trainer.out_dir={tmp_path}/run",
+        ])
