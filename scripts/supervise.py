@@ -65,6 +65,9 @@ def main():
             if rc is not None:
                 break
             time.sleep(10)
+            if proc.poll() is not None:
+                # exited during the sleep — not a stall
+                break
             hb = heartbeat(metrics)
             alive_for = time.time() - start
             budget = (
@@ -80,7 +83,10 @@ def main():
                     "— killing trainer",
                     flush=True,
                 )
-                os.killpg(proc.pid, signal.SIGKILL)
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
                 proc.wait()
                 stalled = True
                 break
