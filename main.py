@@ -17,6 +17,7 @@ Examples
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import jax
@@ -76,7 +77,14 @@ def main(argv=None):
         save_config_snapshot,
     )
 
-    config_paths = args.config or ["config/config.yaml"]
+    if args.config:
+        config_paths = args.config
+    else:
+        # per-subcommand default config files (reference main.py:11-33:
+        # `fit` additionally loads the gitignored logger config)
+        config_paths = ["config/config.yaml"]
+        if args.subcommand == "fit" and os.path.exists("config/logger.yaml"):
+            config_paths.append("config/logger.yaml")
     cfg = load_config(config_paths, overrides)
 
     model, data, trainer = build(cfg)
