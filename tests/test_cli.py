@@ -51,6 +51,11 @@ def test_cli_fit_then_test_then_predict(synth_root, tmp_path):
     )
 
     cli.main(
+        ["validate", *common_args(synth_root, tmp_path),
+         f"--ckpt_path={ckpt}"]
+    )
+
+    cli.main(
         ["predict", *common_args(synth_root, tmp_path),
          f"--ckpt_path={ckpt}",
          f"--plotter.init_args.file_path={tmp_path}/vid",
