@@ -9,7 +9,6 @@ TinyYolo channel/depth table exactly (tiny_yolo.py:16-51).
 from __future__ import annotations
 
 from snn_for_object_detection_tpu.models.tiny_yolo import TinyYolo
-from snn_for_object_detection_tpu.models.spec import Return
 
 # (width multiplier vs TinyYolo's 64-base, extra C2f depth)
 _SCALES = {
@@ -23,6 +22,10 @@ _SCALES = {
 class YoloSNN(TinyYolo):
     """Width/depth-scaled TinyYolo.
 
+    Scaling rewrites the instance's stage plans: channels multiply by
+    the width factor (rounded to a multiple of 16 for TPU lane
+    friendliness) and every C2f deepens by the depth increment.
+
     :param scale: One of ``tiny``, ``s``, ``m``, ``l``.
     """
 
@@ -30,31 +33,15 @@ class YoloSNN(TinyYolo):
         if scale not in _SCALES:
             raise ValueError(f"scale must be one of {sorted(_SCALES)}")
         self.scale = scale
-        self._w, self._d = _SCALES[scale]
+        width, extra_depth = _SCALES[scale]
+
+        def ch(base: int) -> int:
+            return max(16, int(base * width) // 16 * 16)
+
+        self.backbone_plan = tuple(
+            (ch(c), d + extra_depth) for c, d in TinyYolo.backbone_plan
+        )
+        self.neck_plan = tuple(
+            (ch(c), d + extra_depth) for c, d in TinyYolo.neck_plan
+        )
         super().__init__(*args, **kwargs)
-
-    def _ch(self, base: int) -> int:
-        # keep channels multiples of 16 (TPU lane friendliness)
-        return max(16, int(base * self._w) // 16 * 16)
-
-    def backbone_cfgs(self):
-        return [
-            *self._conv(self._ch(64), 3, 2),
-            *self._c2f(self._ch(64), 2 + self._d),
-            *self._conv(self._ch(128), 3, 2),
-            *self._c2f(self._ch(128), 3 + self._d),
-        ]
-
-    def neck_cfgs(self):
-        c = self._ch(256)
-        return [
-            *self._conv(c, 3, 2),
-            *self._c2f(c, 4 + self._d),
-            Return(),
-            *self._conv(c, 3, 2),
-            *self._c2f(c, 3 + self._d),
-            Return(),
-            *self._conv(c, 3, 2),
-            *self._c2f(c, 2 + self._d),
-            Return(),
-        ]
