@@ -17,7 +17,9 @@ from typing import Dict, List
 
 import numpy as np
 
-IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+# linspace, not arange: COCOeval's exact threshold grid (arange's
+# accumulated float step drifts ~1e-16 off the canonical values).
+IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 MAX_DETS = (1, 10, 100)
 
