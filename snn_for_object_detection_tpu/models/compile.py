@@ -48,11 +48,27 @@ class Ctx:
     record: bool = False
     taps: List[Array] = dataclasses.field(default_factory=list)
     records: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # Time-batched mode only: [T] bool, step t active iff step_mask[t]
+    # (the random-start truncation gate; None = all steps active).
+    step_mask: Optional[Array] = None
 
 
 @dataclasses.dataclass
 class CompiledBlock:
-    """A compiled sub-network: static shape info + pure closures."""
+    """A compiled sub-network: static shape info + pure closures.
+
+    ``apply`` processes one time step ``x [B, H, W, C]`` (used inside
+    the detector's outer ``lax.scan``). ``apply_seq`` processes a whole
+    sequence ``X [T, B, H, W, C]`` in *time-batched* mode: stateless
+    layers fold T into the batch (one big MXU op per layer for the
+    whole sequence, weights read from HBM once instead of once per
+    step), and only the elementwise stateful cells run per-layer
+    ``lax.scan``s. Same math, reordered — the throughput-optimal
+    schedule on TPU. Leaves whose per-step apply is NOT time-invariant
+    (stateful cells, train-mode BatchNorm, ``Return`` taps) must
+    override ``apply_seq``; the default derives it by batch-folding
+    ``apply``, which is only correct for stateless leaves.
+    """
 
     out_channels: int
     out_hw: Tuple[int, int]
@@ -60,6 +76,94 @@ class CompiledBlock:
     init_stats: Callable[[], Params]
     init_state: Callable[[int], Any]  # batch -> state pytree
     apply: Callable[[Params, Params, Any, Array, Ctx], Tuple[Array, Params, Any]]
+    apply_seq: Optional[Callable] = None
+
+    def __post_init__(self):
+        if self.apply_seq is None:
+            self.apply_seq = _fold_time_into_batch(self.apply)
+
+
+def _fold_time_into_batch(apply):
+    """Sequence apply for a time-invariant (stateless) leaf: fold
+    [T, B, ...] -> [T*B, ...], run the single-step apply once."""
+
+    def apply_seq(params, stats, state, X, ctx):
+        t, b = X.shape[0], X.shape[1]
+        y, stats, state = apply(
+            params, stats, state, X.reshape((t * b,) + X.shape[2:]), ctx
+        )
+        return y.reshape((t, b) + y.shape[1:]), stats, state
+
+    return apply_seq
+
+
+def _masked_state(new, old, keep):
+    """Gate a state update by the per-step truncation mask."""
+    if keep is None:
+        return new
+    return jax.tree.map(lambda n, o: jnp.where(keep, n, o), new, old)
+
+
+def _bn_eval_affine(params, stats, x, eps):
+    """Eval-mode BatchNorm as one folded affine: the [C]-vector
+    coefficients are computed in fp32 and applied in the activation
+    dtype (y = x * k + b)."""
+    k = jax.lax.rsqrt(stats["var"] + eps) * params["scale"]
+    b = -stats["mean"] * k
+    if "bias" in params:
+        b = b + params["bias"]
+    return x * k.astype(x.dtype) + b.astype(x.dtype)
+
+
+def _cell_apply_seq(cell, state_dtype, record, name, pallas_cell=None):
+    """Sequence apply for an elementwise stateful cell: a per-layer
+    ``lax.scan`` over T whose carry is ONLY this cell's state (the
+    surrounding convs already ran time-batched).
+
+    ``cell(params, x_fp32, state_fp32) -> (out, new_state)``.
+
+    For plain LIF/LI cells (``pallas_cell`` set), the whole time loop
+    runs as ONE Pallas kernel with (v, i) resident in VMEM
+    (ops/pallas_kernels.temporal_cell_seq) whenever no truncation mask
+    or recording is requested; numerics are bit-identical to the scan.
+    """
+
+    def apply_seq(params, stats, state, X, ctx):
+        keep = ctx.step_mask
+        want_rec = record and ctx.record
+
+        if (
+            pallas_cell is not None and keep is None and not want_rec
+            and X.ndim >= 3
+        ):
+            from snn_for_object_detection_tpu.ops import pallas_kernels
+
+            z, v_t, i_t = pallas_kernels.temporal_cell_seq(
+                X, state.v, state.i, cell=pallas_cell
+            )
+            return z, stats, type(state)(v_t, i_t)
+
+        xs = (X, keep) if keep is not None else (X,)
+
+        def body(st, inp):
+            x_t = inp[0]
+            st32 = jax.tree.map(lambda a: a.astype(jnp.float32), st)
+            out, upd = cell(params, x_t.astype(jnp.float32), st32)
+            upd = jax.tree.map(lambda a: a.astype(state_dtype), upd)
+            if keep is not None:
+                upd = _masked_state(upd, st, inp[1])
+            out = out.astype(X.dtype)
+            return upd, (out, upd) if want_rec else out
+
+        state, ys = jax.lax.scan(body, state, xs)
+        if want_rec:
+            out_seq, state_seq = ys
+            ctx.records[name] = (state_seq, out_seq)
+        else:
+            out_seq = ys
+        return out_seq, stats, state
+
+    return apply_seq
 
 
 def _empty_init(_key):
@@ -166,14 +270,53 @@ def _compile_leaf(
                     "var": (1 - momentum) * stats["var"] + momentum * unbiased,
                 }
             else:
-                mean, var = stats["mean"], stats["var"]
-                new_stats = stats
+                # Eval: running stats are constants — fold into a single
+                # affine in the compute dtype. Keeping the math out of
+                # fp32 avoids materializing fp32-sized activations
+                # (measured 2.5x on the time-batched path).
+                return _bn_eval_affine(params, stats, x, eps), stats, state
             y = (xf - mean) * jax.lax.rsqrt(var + eps) * params["scale"]
             if "bias" in params:
                 y = y + params["bias"]
             return y.astype(x.dtype), new_stats, state
 
-        return CompiledBlock(in_ch, in_hw, init, init_stats, _empty_state, apply)
+        def apply_seq(params, stats, state, X, ctx):
+            xf = X.astype(jnp.float32)
+            if ctx.train:
+                # Per-step batch stats over (B, H, W) for each t —
+                # identical values to the step path, computed in one
+                # batched reduction; only the tiny [C]-vector running-
+                # stat fold stays sequential (and truncation-gated).
+                mean = jnp.mean(xf, axis=(1, 2, 3))  # [T, C]
+                var = jnp.var(xf, axis=(1, 2, 3))
+                n = X.shape[1] * X.shape[2] * X.shape[3]
+                unbiased = var * (n / max(n - 1, 1))
+                keep = ctx.step_mask
+                if keep is None:
+                    keep = jnp.ones((X.shape[0],), bool)
+
+                def fold(s, inp):
+                    m_t, v_t, k_t = inp
+                    upd = {
+                        "mean": (1 - momentum) * s["mean"] + momentum * m_t,
+                        "var": (1 - momentum) * s["var"] + momentum * v_t,
+                    }
+                    return _masked_state(upd, s, k_t), None
+
+                new_stats, _ = jax.lax.scan(
+                    fold, stats, (mean, unbiased, keep)
+                )
+                mean = mean[:, None, None, None, :]
+                var = var[:, None, None, None, :]
+            else:
+                return _bn_eval_affine(params, stats, X, eps), stats, state
+            y = (xf - mean) * jax.lax.rsqrt(var + eps) * params["scale"]
+            if "bias" in params:
+                y = y + params["bias"]
+            return y.astype(X.dtype), new_stats, state
+
+        return CompiledBlock(in_ch, in_hw, init, init_stats, _empty_state,
+                             apply, apply_seq=apply_seq)
 
     if isinstance(layer, S.Pool):
         k = layer.kernel_size
@@ -270,7 +413,15 @@ def _compile_leaf(
                 ctx.records[name] = (new_state, out)
             return out.astype(x.dtype), stats, new_state
 
-        return CompiledBlock(in_ch, in_hw, init, _empty_stats, init_state, apply)
+        def plif_cell(params, x, st):
+            learn = neurons.PLIFParams(
+                params["raw_tau_syn"], params["raw_tau_mem"]
+            )
+            return neurons.plif_step(x, st, learn)
+
+        apply_seq = _cell_apply_seq(plif_cell, state_dtype, record, name)
+        return CompiledBlock(in_ch, in_hw, init, _empty_stats, init_state,
+                             apply, apply_seq=apply_seq)
 
     if isinstance(layer, S.ALIF):
         ap = neurons.ALIFParams(
@@ -294,8 +445,13 @@ def _compile_leaf(
                 ctx.records[name] = (new_state, out)
             return out.astype(x.dtype), stats, new_state
 
+        apply_seq = _cell_apply_seq(
+            lambda _p, x, st, ap=ap: neurons.alif_step(x, st, ap),
+            state_dtype, record, name,
+        )
         return CompiledBlock(
-            in_ch, in_hw, _empty_init, _empty_stats, init_state, apply
+            in_ch, in_hw, _empty_init, _empty_stats, init_state, apply,
+            apply_seq=apply_seq,
         )
 
     if isinstance(layer, (S.LIF, S.LI, S.SLI, S.Synapse)):
@@ -328,8 +484,19 @@ def _compile_leaf(
                 ctx.records[name] = (new_state, out)
             return out.astype(x.dtype), stats, new_state
 
+        if isinstance(layer, S.LIF):
+            pallas_cell = "lif"
+        elif isinstance(layer, S.LI):
+            pallas_cell = "li"
+        else:
+            pallas_cell = None
+        apply_seq = _cell_apply_seq(
+            lambda _p, x, st, cell_step=cell_step: cell_step(x, st),
+            state_dtype, record, name, pallas_cell=pallas_cell,
+        )
         return CompiledBlock(
-            in_ch, in_hw, _empty_init, _empty_stats, init_state, apply
+            in_ch, in_hw, _empty_init, _empty_stats, init_state, apply,
+            apply_seq=apply_seq,
         )
 
     if isinstance(layer, S.LSTM):
@@ -363,15 +530,33 @@ def _compile_leaf(
                 h_new.astype(state_dtype), c_new.astype(state_dtype)
             )
 
-        return CompiledBlock(hidden, in_hw, init, _empty_stats, init_state, apply)
+        def apply_seq(params, stats, state, X, ctx):
+            # ConvLSTM's conv consumes the carried h, so the conv cannot
+            # leave the scan; the scan body is the step apply itself.
+            keep = ctx.step_mask
+            xs = (X, keep) if keep is not None else (X,)
+
+            def body(st, inp):
+                y, _, upd = apply(params, stats, st, inp[0], ctx)
+                if keep is not None:
+                    upd = _masked_state(upd, st, inp[1])
+                return upd, y
+
+            state, Y = jax.lax.scan(body, state, xs)
+            return Y, stats, state
+
+        return CompiledBlock(hidden, in_hw, init, _empty_stats, init_state,
+                             apply, apply_seq=apply_seq)
 
     if isinstance(layer, S.Return):
         def apply(params, stats, state, x, ctx):
             ctx.taps.append(x)
             return x, stats, state
 
+        # In time-batched mode the tap is the whole [T, B, ...] sequence.
         return CompiledBlock(
-            in_ch, in_hw, _empty_init, _empty_stats, _empty_state, apply
+            in_ch, in_hw, _empty_init, _empty_stats, _empty_state, apply,
+            apply_seq=apply,
         )
 
     raise TypeError(f"Unknown layer spec: {layer!r}")
@@ -474,35 +659,40 @@ def compile_block(
             for bi, layers in enumerate(branches)
         }
 
-    def apply(params, stats, state, x, ctx):
-        outs = []
-        new_stats = {}
-        new_state = {}
-        for bi, layers in enumerate(branches):
-            y = x
-            b_stats = {}
-            b_state = {}
-            for li, layer in enumerate(layers):
-                y, s2, st2 = layer.apply(
-                    params[f"b{bi}"][f"l{li}"],
-                    stats[f"b{bi}"][f"l{li}"],
-                    state[f"b{bi}"][f"l{li}"],
-                    y,
-                    ctx,
-                )
-                b_stats[f"l{li}"] = s2
-                b_state[f"l{li}"] = st2
-            outs.append(y)
-            new_stats[f"b{bi}"] = b_stats
-            new_state[f"b{bi}"] = b_state
-        if mode == "residual":
-            y = outs[0]
-            for o in outs[1:]:
-                y = y + o
-        elif mode == "dense":
-            y = jnp.concatenate(outs, axis=-1)
-        else:
-            y = outs[0]
-        return y, new_stats, new_state
+    def _make_apply(seq: bool):
+        def apply(params, stats, state, x, ctx):
+            outs = []
+            new_stats = {}
+            new_state = {}
+            for bi, layers in enumerate(branches):
+                y = x
+                b_stats = {}
+                b_state = {}
+                for li, layer in enumerate(layers):
+                    fn = layer.apply_seq if seq else layer.apply
+                    y, s2, st2 = fn(
+                        params[f"b{bi}"][f"l{li}"],
+                        stats[f"b{bi}"][f"l{li}"],
+                        state[f"b{bi}"][f"l{li}"],
+                        y,
+                        ctx,
+                    )
+                    b_stats[f"l{li}"] = s2
+                    b_state[f"l{li}"] = st2
+                outs.append(y)
+                new_stats[f"b{bi}"] = b_stats
+                new_state[f"b{bi}"] = b_state
+            if mode == "residual":
+                y = outs[0]
+                for o in outs[1:]:
+                    y = y + o
+            elif mode == "dense":
+                y = jnp.concatenate(outs, axis=-1)
+            else:
+                y = outs[0]
+            return y, new_stats, new_state
 
-    return CompiledBlock(out_channels, out_hw, init, init_stats, init_state, apply)
+        return apply
+
+    return CompiledBlock(out_channels, out_hw, init, init_stats, init_state,
+                         _make_apply(False), apply_seq=_make_apply(True))

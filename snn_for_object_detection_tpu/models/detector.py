@@ -143,6 +143,18 @@ class SODa:
                 )
             self.heads.append({"base": base, "box": box, "cls": cls})
 
+        # Head box/cls branches that carry no state and no BN running
+        # stats (the flagship config: bare 1x1 convs) only need the
+        # LAST step's base activations in time-batched mode.
+        def _light(blk: C.CompiledBlock) -> bool:
+            return not jax.tree_util.tree_leaves(
+                (blk.init_state(1), blk.init_stats())
+            )
+
+        self._head_tails_light = all(
+            _light(h["box"]) and _light(h["cls"]) for h in self.heads
+        )
+
     # ----- config hooks (soda.py:98-133) -----
 
     def backbone_cfgs(self) -> S.ListGen:
@@ -317,6 +329,97 @@ class SODa:
             unroll=self.scan_unroll,
         )
         return preds, stats, state
+
+    # ----- time-batched sequence forward -----
+
+    def forward_seq(
+        self,
+        params: Any,
+        stats: Any,
+        X: Array,
+        start_step: Array | int = 0,
+        train: bool = False,
+        state: Optional[Any] = None,
+    ) -> Tuple[Tuple[Array, Array], Any, Any]:
+        """Time-batched forward: identical results to :meth:`forward`,
+        throughput-optimal schedule.
+
+        Stateless layers (convs, BN, activations) run ONCE over the
+        folded ``T*B`` batch — big MXU ops, weights read from HBM once
+        per sequence instead of once per step — and only the
+        elementwise stateful cells run per-layer ``lax.scan``s
+        (see ``CompiledBlock.apply_seq``). Use for inference/eval
+        throughput; training keeps :meth:`forward`'s step scan, whose
+        ``jax.checkpoint`` keeps BPTT memory O(state) rather than
+        O(T x activations).
+
+        :param X: [T, B, H, W, C] event frames.
+        :param start_step: steps t < start_step are skipped (state and
+            BN running stats frozen), matching :meth:`forward`.
+        """
+        T, B = X.shape[0], X.shape[1]
+        if state is None:
+            state = self.init_state(B)
+        if isinstance(start_step, int) and start_step == 0:
+            mask = None
+        else:
+            mask = jnp.arange(T) >= start_step
+        ctx = C.Ctx(train=train, step_mask=mask)
+        x = X.astype(self.compute_dtype)
+
+        new_stats: Dict[str, Any] = {}
+        new_state: Dict[str, Any] = {}
+        y, new_stats["backbone"], new_state["backbone"] = (
+            self.backbone.apply_seq(
+                params["backbone"], stats["backbone"], state["backbone"],
+                x, ctx,
+            )
+        )
+        _, new_stats["neck"], new_state["neck"] = self.neck.apply_seq(
+            params["neck"], stats["neck"], state["neck"], y, ctx
+        )
+        pyramid = ctx.taps  # [T, B, h, w, c] per scale
+        if len(pyramid) != len(self.heads):
+            raise RuntimeError("neck produced wrong number of pyramid taps")
+
+        cls_list, box_list = [], []
+        for idx, (head, fmap_seq) in enumerate(zip(self.heads, pyramid)):
+            hp = params[f"head{idx}"]
+            hs = stats[f"head{idx}"]
+            hst = state[f"head{idx}"]
+            ns: Dict[str, Any] = {}
+            nst: Dict[str, Any] = {}
+            base_seq, ns["base"], nst["base"] = head["base"].apply_seq(
+                hp["base"], hs["base"], hst["base"], fmap_seq, ctx
+            )
+            if self._head_tails_light:
+                # stateless, stat-free tails: last step only
+                box_out, ns["box"], nst["box"] = head["box"].apply(
+                    hp["box"], hs["box"], hst["box"], base_seq[-1], ctx
+                )
+                cls_out, ns["cls"], nst["cls"] = head["cls"].apply(
+                    hp["cls"], hs["cls"], hst["cls"], base_seq[-1], ctx
+                )
+            else:
+                box_seq, ns["box"], nst["box"] = head["box"].apply_seq(
+                    hp["box"], hs["box"], hst["box"], base_seq, ctx
+                )
+                cls_seq, ns["cls"], nst["cls"] = head["cls"].apply_seq(
+                    hp["cls"], hs["cls"], hst["cls"], base_seq, ctx
+                )
+                box_out, cls_out = box_seq[-1], cls_seq[-1]
+            new_stats[f"head{idx}"] = ns
+            new_state[f"head{idx}"] = nst
+            box_list.append(box_out.reshape(B, -1, 4).astype(jnp.float32))
+            cls_list.append(
+                cls_out.reshape(B, -1, self.num_classes + 1).astype(
+                    jnp.float32
+                )
+            )
+
+        cls_preds = jnp.concatenate(cls_list, axis=1)
+        bbox_preds = jnp.concatenate(box_list, axis=1)
+        return (cls_preds, bbox_preds), new_stats, new_state
 
     # ----- loss (soda.py:259-281) -----
 

@@ -101,6 +101,199 @@ def fused_pointwise_conv_bn_lif(
     )(x, w, a, b, v, i)
 
 
+# ---------------------------------------------------------------------------
+# Temporal-fusion kernel: a whole LIF/LI layer's time loop in ONE pass
+# ---------------------------------------------------------------------------
+#
+# In time-batched execution (CompiledBlock.apply_seq) the convolutions
+# run folded over T*B (fast), but a per-layer `lax.scan` for the cell
+# costs 32 separate elementwise kernels, each reading and writing the
+# (v, i) state from HBM: ~3x more state traffic than the math needs.
+# This kernel runs the T-step time loop INSIDE the grid: t is the
+# innermost grid dimension, (v, i) live in VMEM scratch across t, and
+# HBM sees exactly one read of x[t] and one write of z[t] per step —
+# the state never touches HBM between t=0 and t=T-1.
+#
+# Numerics mirror ops/neurons.lif_step / li_step exactly, including the
+# per-step quantization of stored state to `state_dtype` (scratch is
+# kept in the storage dtype and upcast to fp32 for the update math), so
+# forward_seq(pallas) == forward(step scan) bit-for-bit.
+
+_V_LEAK = 0.0
+
+
+def _temporal_kernel(cell, block_t):
+    def kernel(x_ref, v0_ref, i0_ref, z_ref, vT_ref, iT_ref, v_s, i_s):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            v_s[:] = v0_ref[:]
+            i_s[:] = i0_ref[:]
+
+        # static inner loop over block_t steps: one grid step amortizes
+        # its DMA/launch overhead over block_t state updates. (v, i)
+        # stay in vector registers across the loop — scratch is touched
+        # once per grid step, not once per time step (measured 2.5x).
+        v = v_s[:].astype(jnp.float32)
+        i = i_s[:].astype(jnp.float32)
+        for k in range(block_t):
+            x = x_ref[k].astype(jnp.float32)
+            if cell == "lif":
+                # decay -> spike -> reset -> inject (neurons.lif_step)
+                v_dec = v + _DT * _TAU_MEM_INV * ((_V_LEAK - v) + i)
+                i_dec = i - _DT * _TAU_SYN_INV * i
+                spike = v_dec - _V_TH > 0
+                v = jnp.where(spike, 0.0, v_dec)
+                i = i_dec + x
+                out = spike
+            else:  # "li": current jump BEFORE the voltage update (li_step)
+                i_jump = i + x
+                v = v + _DT * _TAU_MEM_INV * ((_V_LEAK - v) + i_jump)
+                i = i_jump - _DT * _TAU_SYN_INV * i_jump
+                out = v
+            # mirror the scan path's per-step state quantization
+            v = v.astype(v_s.dtype).astype(jnp.float32)
+            i = i.astype(i_s.dtype).astype(jnp.float32)
+            z_ref[k] = out.astype(z_ref.dtype)
+        v_s[:] = v.astype(v_s.dtype)
+        i_s[:] = i.astype(i_s.dtype)
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _():
+            vT_ref[:] = v_s[:]
+            iT_ref[:] = i_s[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cell", "block_t", "interpret")
+)
+def _temporal_cell_seq_fwd_impl(x_seq, v0, i0, cell, block_t, interpret):
+    T = x_seq.shape[0]
+    step_shape = x_seq.shape[1:]
+    c = step_shape[-1]
+    m = 1
+    for d in step_shape[:-1]:
+        m *= d
+    # Merge only LEADING dims: (T, B, H, W, C) -> (T, B*H*W, C) keeps
+    # the minor (lane) dimension intact, so the reshape is free — no
+    # physical tile repack (flattening into lanes of 128 forced a
+    # relayout of every C<128 tensor: measured ~100 ms/forward).
+    x2 = x_seq.reshape(T, m, c)
+    v2 = v0.reshape(m, c)
+    i2 = i0.reshape(m, c)
+    bt = block_t
+    while T % bt:  # T must split evenly into time blocks
+        bt //= 2
+    # rows per block from a ~1 MB VMEM budget per buffer; VMEM tiles pad
+    # the lane (channel) dim to 128, so budget with the padded width
+    c_pad = -(-c // 128) * 128
+    r = max(8, min(m, (1 << 20) // (bt * c_pad * x_seq.dtype.itemsize)))
+    r = max(8, (r // 8) * 8)
+    grid = (pl.cdiv(m, r), T // bt)  # t innermost: state stays in VMEM
+    seq_spec = pl.BlockSpec((bt, r, c), lambda n, t: (t, n, 0),
+                            memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((r, c), lambda n, t: (n, 0),
+                              memory_space=pltpu.VMEM)
+    z2, vT, iT = pl.pallas_call(
+        _temporal_kernel(cell, bt),
+        grid=grid,
+        in_specs=[seq_spec, state_spec, state_spec],
+        out_specs=[seq_spec, state_spec, state_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, m, c), x_seq.dtype),
+            jax.ShapeDtypeStruct((m, c), v0.dtype),
+            jax.ShapeDtypeStruct((m, c), i0.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, c), v0.dtype),
+            pltpu.VMEM((r, c), i0.dtype),
+        ],
+        interpret=interpret,
+    )(x2, v2, i2)
+    return (
+        z2.reshape(x_seq.shape),
+        vT.reshape(step_shape),
+        iT.reshape(step_shape),
+    )
+
+
+def _temporal_scan_reference(x_seq, v0, i0, cell):
+    """lax.scan implementation with identical numerics (fp32 math,
+    state_dtype storage); used for the backward pass — its VJP carries
+    the SuperSpike surrogate gradient from ops/neurons."""
+    from snn_for_object_detection_tpu.ops import neurons
+
+    state_dtype = v0.dtype
+    if cell == "lif":
+        step, state_t = neurons.lif_step, neurons.LIFState
+    else:
+        step, state_t = neurons.li_step, neurons.LIState
+
+    def body(st, x_t):
+        st32 = jax.tree.map(lambda a: a.astype(jnp.float32), st)
+        out, new = step(x_t.astype(jnp.float32), st32)
+        new = jax.tree.map(lambda a: a.astype(state_dtype), new)
+        return new, out.astype(x_t.dtype)
+
+    state, z = jax.lax.scan(body, state_t(v0, i0), x_seq)
+    return z, state.v, state.i
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _temporal_cell_seq(x_seq, v0, i0, cell, block_t, interpret):
+    return _temporal_cell_seq_fwd_impl(
+        x_seq, v0, i0, cell, block_t, interpret
+    )
+
+
+def _temporal_fwd(x_seq, v0, i0, cell, block_t, interpret):
+    out = _temporal_cell_seq_fwd_impl(
+        x_seq, v0, i0, cell, block_t, interpret
+    )
+    return out, (x_seq, v0, i0)
+
+
+def _temporal_bwd(cell, block_t, interpret, res, cts):
+    # Backward recomputes via the scan reference (same numerics); BPTT
+    # memory matches the plain scan path.
+    x_seq, v0, i0 = res
+    _, vjp = jax.vjp(
+        lambda x, v, i: _temporal_scan_reference(x, v, i, cell),
+        x_seq, v0, i0,
+    )
+    return vjp(cts)
+
+
+_temporal_cell_seq.defvjp(_temporal_fwd, _temporal_bwd)
+
+
+def temporal_cell_seq(
+    x_seq: jax.Array,  # [T, ...] per-step cell input
+    v0: jax.Array,     # [...] initial membrane (state storage dtype)
+    i0: jax.Array,     # [...] initial current
+    cell: str = "lif",
+    block_t: int = 8,
+    interpret: bool | None = None,
+):
+    """Whole-layer temporal LIF/LI: ``(z_seq, v_T, i_T)`` in one HBM
+    pass, state resident in VMEM across the T loop.
+
+    Requires the per-step row count (product of all but the channel
+    axis) to be a multiple of 8 (the caller falls back to the scan path
+    otherwise). Differentiable: the
+    backward pass recomputes through the scan reference, preserving the
+    SuperSpike surrogate gradient.
+    """
+    if cell not in ("lif", "li"):
+        raise ValueError(f"unsupported cell {cell!r}")
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    return _temporal_cell_seq(x_seq, v0, i0, cell, block_t, interpret)
+
+
 def xla_pointwise_conv_bn_lif(x, w, a, b, v, i):
     """Reference XLA implementation of the same fused op (used for
     correctness checks and as the honest baseline in benchmarks)."""
