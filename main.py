@@ -70,7 +70,23 @@ def main(argv=None):
         help="YAML config file(s), merged left to right "
              "(default: config/config.yaml)",
     )
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="join a multi-host run via jax.distributed.initialize() "
+             "(coordinator/process env vars or TPU-pod metadata); also "
+             "implied by JAX_COORDINATOR_ADDRESS being set",
+    )
     args, overrides = parser.parse_known_args(argv)
+
+    if args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        from snn_for_object_detection_tpu.parallel import distributed
+
+        distributed.initialize()
+        print(
+            f"[distributed] process {jax.process_index()}/"
+            f"{jax.process_count()}, {len(jax.devices())} global devices",
+            flush=True,
+        )
 
     from snn_for_object_detection_tpu.utils.config import (
         load_config,

@@ -350,9 +350,18 @@ def _compile_leaf(
                 )
                 return y / (k * k) if kind == "A" else y
         else:
-            raise NotImplementedError(
-                "Max pool with stride != kernel_size is not supported"
-            )
+            # Max pool with stride != kernel: elementwise max over the
+            # k*k shifted strided slices. Unlike lax.reduce_window this
+            # has a linearization rule (plain jnp.maximum), so it stays
+            # differentiable under the jax.checkpoint-ed scan body.
+            def pool_apply(x, k=k, s=s, oh=oh, ow=ow):
+                y = None
+                for di in range(k):
+                    for dj in range(k):
+                        sl = x[:, di : di + (oh - 1) * s + 1 : s,
+                               dj : dj + (ow - 1) * s + 1 : s, :]
+                        y = sl if y is None else jnp.maximum(y, sl)
+                return y
 
         return CompiledBlock(
             in_ch, out_hw, _empty_init, _empty_stats, _empty_state,
@@ -360,14 +369,30 @@ def _compile_leaf(
         )
 
     if isinstance(layer, S.Up):
-        if layer.mode != "nearest":
-            raise NotImplementedError(f"Up mode {layer.mode!r}")
+        # Mode surface mirrors the reference's nn.Upsample pass-through
+        # (layer_gen.py:176-193): nearest / linear / bilinear / bicubic /
+        # trilinear. On a 2-D map the (tri)linear variants all mean
+        # bilinear; interpolating modes use half-pixel centers
+        # (= torch align_corners=False). torch's bicubic uses the Keys
+        # kernel with a=-0.75 vs JAX's a=-0.5 — boundary taps can differ
+        # in the 3rd decimal; documented, not matched.
         scale = layer.scale
         out_hw = (h * scale, w * scale)
+        if layer.mode == "nearest":
+            # Integer-scale nearest == repeat (exactly torch's floor
+            # indexing), cheaper than a gather-based resize.
+            def up_apply(x, scale=scale):
+                y = jnp.repeat(x, scale, axis=1)
+                return jnp.repeat(y, scale, axis=2)
+        elif layer.mode in ("linear", "bilinear", "trilinear", "bicubic"):
+            method = "cubic" if layer.mode == "bicubic" else "linear"
 
-        def up_apply(x, scale=scale):
-            y = jnp.repeat(x, scale, axis=1)
-            return jnp.repeat(y, scale, axis=2)
+            def up_apply(x, out_hw=out_hw, method=method):
+                return jax.image.resize(
+                    x, (x.shape[0],) + out_hw + (x.shape[3],), method
+                ).astype(x.dtype)
+        else:
+            raise NotImplementedError(f"Up mode {layer.mode!r}")
 
         return CompiledBlock(
             in_ch, out_hw, _empty_init, _empty_stats, _empty_state,
@@ -502,11 +527,12 @@ def _compile_leaf(
     if isinstance(layer, S.LSTM):
         hidden = in_ch if layer.hidden_size is None else layer.hidden_size
         k = layer.kernel_size
-        out_hw = _conv_out_hw(in_hw, k, 1, 0)
-        if out_hw != in_hw:
-            # Reference ConvLSTM uses k=1 (no padding); other kernels
-            # would shrink the map and desync the carried hidden state.
-            raise ValueError("ConvLSTM kernel_size must be 1")
+        # Same-padding keeps out_hw == in_hw for any kernel. The
+        # reference only ever instantiates k=1 and its unpadded conv
+        # would desync the carried hidden state for k>1
+        # (conv_lstm.py:20,37-41: cat([X, h]) fails at step 2) — the
+        # padded form is the working generalization.
+        pad = k // 2
 
         def init(key, k=k, in_ch=in_ch, hidden=hidden):
             return {"w": _kaiming_conv_init(key, (k, k, in_ch + hidden, 4 * hidden))}
@@ -515,11 +541,11 @@ def _compile_leaf(
             shape = (b, hw[0], hw[1], hidden)
             return (jnp.zeros(shape, state_dtype), jnp.zeros(shape, state_dtype))
 
-        def apply(params, stats, state, x, ctx, hidden=hidden):
+        def apply(params, stats, state, x, ctx, pad=pad):
             # Gate math mirrors conv_lstm.py:63-78 (order: i, f, o, g).
             h_prev, c_prev = state
             combined = jnp.concatenate([x, h_prev.astype(x.dtype)], axis=-1)
-            gates = _conv2d(combined, params["w"], 1, 0).astype(jnp.float32)
+            gates = _conv2d(combined, params["w"], 1, pad).astype(jnp.float32)
             i_g, f_g, o_g, g_g = jnp.split(gates, 4, axis=-1)
             c_new = (
                 jax.nn.sigmoid(f_g) * c_prev.astype(jnp.float32)

@@ -85,7 +85,9 @@ class Pool(LayerSpec):
 
 @dataclasses.dataclass(frozen=True)
 class Up(LayerSpec):
-    """Nearest-neighbor upsampling (layer_gen.py:176-194)."""
+    """Upsampling (layer_gen.py:176-194): ``nearest`` / ``linear`` /
+    ``bilinear`` / ``trilinear`` (all bilinear on a 2-D map) /
+    ``bicubic``."""
 
     scale: int = 2
     mode: str = "nearest"

@@ -1,5 +1,6 @@
-"""Mesh construction and sharding helpers (data parallelism)."""
+"""Mesh construction, sharding helpers, and multi-host wiring."""
 
+from snn_for_object_detection_tpu.parallel import distributed
 from snn_for_object_detection_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -7,4 +8,10 @@ from snn_for_object_detection_tpu.parallel.mesh import (
     shard_batch,
 )
 
-__all__ = ["batch_sharding", "make_mesh", "replicated", "shard_batch"]
+__all__ = [
+    "batch_sharding",
+    "distributed",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+]

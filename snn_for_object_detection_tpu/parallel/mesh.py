@@ -46,9 +46,20 @@ def batch_sharding(mesh: Mesh, batch_axis_index: int) -> NamedSharding:
 def shard_batch(mesh: Mesh, features: Any, labels: Any):
     """Place a host batch onto the mesh, sharded along B.
 
-    :param features: [T, B, H, W, C] numpy array.
-    :param labels: [B, N, 5] numpy array.
+    Single-process: a plain sharded ``device_put``. Multi-process: each
+    host contributes its local batch as its slice of one global array
+    (``jax.make_array_from_process_local_data``) — the global batch is
+    ``per_host_batch * num_hosts``, matching DDP semantics where every
+    rank loads its own batch (config/config.yaml:35-37).
+
+    :param features: [T, B_local, H, W, C] numpy array.
+    :param labels: [B_local, N, 5] numpy array.
     """
-    f = jax.device_put(features, batch_sharding(mesh, 1))
-    l = jax.device_put(labels, batch_sharding(mesh, 0))
+    f_sh, l_sh = batch_sharding(mesh, 1), batch_sharding(mesh, 0)
+    if jax.process_count() > 1:
+        f = jax.make_array_from_process_local_data(f_sh, np.asarray(features))
+        l = jax.make_array_from_process_local_data(l_sh, np.asarray(labels))
+    else:
+        f = jax.device_put(features, f_sh)
+        l = jax.device_put(labels, l_sh)
     return f, l

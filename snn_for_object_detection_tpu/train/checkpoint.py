@@ -17,6 +17,8 @@ from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
 
+from snn_for_object_detection_tpu.parallel import distributed as dist
+
 
 class CheckpointManager:
     """Minimal top-k checkpoint manager over an Orbax PyTreeCheckpointer."""
@@ -56,40 +58,49 @@ class CheckpointManager:
         meta: Optional[Dict] = None,
     ) -> Optional[str]:
         """Save ``state`` (arbitrary pytree) tagged by step; keep only
-        the top-k by the monitored metric (None = always keep 'last')."""
+        the top-k by the monitored metric (None = always keep 'last').
+
+        Multi-host: EVERY process must call this together — the Orbax
+        save is a cross-process collective (its internal barriers hang
+        or mismatch otherwise). Filesystem bookkeeping (pruning, index,
+        symlink) runs on process 0 only; in-memory retention state is
+        kept identical on all processes."""
+        primary = dist.is_primary()
         name = f"step_{step:09d}"
         path = os.path.join(self.directory, name)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        # a previously-protected (pruned-but-latest) checkpoint can be
-        # deleted once a newer save supersedes it
-        if (
-            self._latest_name
-            and self._latest_name != name
-            and self._latest_name not in self._index
-        ):
-            stale = os.path.join(self.directory, self._latest_name)
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
-            stale_meta = stale + ".meta.json"
-            if os.path.exists(stale_meta):
-                os.remove(stale_meta)
+        if primary:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            # a previously-protected (pruned-but-latest) checkpoint can
+            # be deleted once a newer save supersedes it
+            if (
+                self._latest_name
+                and self._latest_name != name
+                and self._latest_name not in self._index
+            ):
+                stale = os.path.join(self.directory, self._latest_name)
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+                stale_meta = stale + ".meta.json"
+                if os.path.exists(stale_meta):
+                    os.remove(stale_meta)
         self._ckpt.save(path, state)
         self._latest_name = name
-        if meta is not None:
+        if primary and meta is not None:
             with open(os.path.join(self.directory, name + ".meta.json"), "w") as f:
                 json.dump(meta, f, indent=1, default=str)
         if metric is not None:
             self._index[name] = float(metric)
             self._prune()
-        self._flush_index()
-        # maintain a 'last' symlink for unconditional resume
-        last = os.path.join(self.directory, "last")
-        if os.path.islink(last):
-            os.unlink(last)
-        elif os.path.exists(last):
-            shutil.rmtree(last)
-        os.symlink(path, last)
+        if primary:
+            self._flush_index()
+            # maintain a 'last' symlink for unconditional resume
+            last = os.path.join(self.directory, "last")
+            if os.path.islink(last):
+                os.unlink(last)
+            elif os.path.exists(last):
+                shutil.rmtree(last)
+            os.symlink(path, last)
         return path
 
     def _prune(self) -> None:
@@ -105,7 +116,7 @@ class CheckpointManager:
             # never delete the newest checkpoint's data or metadata —
             # 'last' points at it and resume must always work; both are
             # removed once a newer save supersedes it (see save())
-            if name != self._latest_name:
+            if name != self._latest_name and dist.is_primary():
                 if os.path.exists(path):
                     shutil.rmtree(path)
                 meta = path + ".meta.json"

@@ -35,6 +35,7 @@ from snn_for_object_detection_tpu.parallel import (
     replicated,
     shard_batch,
 )
+from snn_for_object_detection_tpu.parallel import distributed as dist
 from snn_for_object_detection_tpu.train.checkpoint import CheckpointManager
 from snn_for_object_detection_tpu.train.metrics import (
     MeanAveragePrecision,
@@ -46,11 +47,20 @@ class MetricsLogger:
     """JSONL + stdout metrics sink (the logger-config analogue,
     SURVEY.md §5.5)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, backends=()):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, "metrics.jsonl")
+        self.backends = list(backends)
+        for b in self.backends:
+            set_out_dir = getattr(b, "set_out_dir", None)
+            if set_out_dir is not None:
+                set_out_dir(out_dir)
 
     def log(self, step: int, payload: Dict[str, float]) -> None:
+        if not dist.is_primary():
+            # multi-host: metrics are already merged/replicated — one
+            # writer avoids interleaved lines on a shared filesystem
+            return
         rec = {"step": step, "time": time.time(), **payload}
         with open(self.path, "a") as f:
             f.write(json.dumps(rec, default=float) + "\n")
@@ -59,6 +69,12 @@ class MetricsLogger:
             for k, v in payload.items()
         )
         print(f"[step {step}] {printable}", flush=True)
+        for b in self.backends:
+            b.log_metrics(step, payload)
+
+    def close(self) -> None:
+        for b in self.backends:
+            b.close()
 
 
 class Trainer:
@@ -88,6 +104,8 @@ class Trainer:
         gradient_clip_norm: Optional[float] = None,
         accumulate_grad_batches: int = 1,
         fast_dev_run: bool = False,
+        limit_predict_batches: int = 1,
+        logger: Any = None,
     ):
         if fast_dev_run:
             # one-batch smoke run (the Lightning flag, config.yaml:53)
@@ -114,19 +132,49 @@ class Trainer:
         self.gradient_clip_norm = gradient_clip_norm
         self.accumulate_grad_batches = max(accumulate_grad_batches, 1)
         self.fast_dev_run = fast_dev_run
-        self.logger = MetricsLogger(out_dir)
+        self.limit_predict_batches = limit_predict_batches
+        # Tracker backends (the trainer.logger config surface, reference
+        # main.py:13-16): a class_path/init_args dict, a list of them,
+        # or pre-built objects with log_metrics/close.
+        self.logger = MetricsLogger(out_dir, self._build_loggers(logger))
         self.ckpt = CheckpointManager(
             os.path.join(out_dir, "checkpoints"),
             save_top_k=save_top_k,
             monitor=monitor,
         )
 
+    @staticmethod
+    def _build_loggers(logger):
+        if logger is None:
+            return []
+        if not isinstance(logger, (list, tuple)):
+            logger = [logger]
+        from snn_for_object_detection_tpu.utils.config import instantiate
+
+        return [
+            instantiate(item) if isinstance(item, dict) else item
+            for item in logger
+        ]
+
     def mesh_for_batch(self, batch_size: int):
         """Data-parallel mesh whose size divides the global batch. A
         user-provided mesh is used as-is; otherwise take the largest
         divisor of ``batch_size`` not exceeding the device count (so
-        small debug batches still run on big hosts)."""
+        small debug batches still run on big hosts).
+
+        Multi-process: ``batch_size`` is per-host (DDP semantics), the
+        mesh always spans every device of every host, and the per-host
+        batch must divide evenly over the host's local devices."""
         if self._mesh is not None:
+            return self._mesh
+        if dist.is_distributed():
+            n_local = len(jax.local_devices())
+            if batch_size % n_local:
+                raise ValueError(
+                    f"per-host batch {batch_size} is not divisible by "
+                    f"the {n_local} local devices of this host"
+                )
+            self._mesh = make_mesh()
             return self._mesh
         n_dev = len(jax.devices())
         n = min(n_dev, batch_size)
@@ -140,6 +188,17 @@ class Trainer:
                 flush=True,
             )
         return self._mesh
+
+    @staticmethod
+    def _sync_data_sharding(data) -> None:
+        """Point the DataModule at this process's dataset shard
+        (host_id/num_hosts default to a single-host setup; under
+        jax.distributed they are derived, not hand-configured)."""
+        if not dist.is_distributed():
+            return
+        if getattr(data, "num_hosts", 1) == 1:
+            data.host_id = jax.process_index()
+            data.num_hosts = jax.process_count()
 
     @property
     def mesh(self):
@@ -229,6 +288,7 @@ class Trainer:
         """Train until early stopping / max_epochs. Returns final state."""
         if self.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        self._sync_data_sharding(data)
         self.mesh_for_batch(data.batch_size)
         optimizer, jit_train, jit_eval = self._build_steps(model)
         key = jax.random.PRNGKey(self.seed)
@@ -327,6 +387,8 @@ class Trainer:
                 )
                 self.logger.log(step, metrics)
                 metric = metrics.get(self.monitor, 0.0)
+                # multi-host: save() is a collective — every process
+                # calls it; only process 0 touches the filesystem index
                 self.ckpt.save(
                     step,
                     {
@@ -361,6 +423,8 @@ class Trainer:
                     )
                     break
 
+        self.logger.close()
+        dist.barrier("fit_end")
         return {
             "params": params,
             "stats": stats,
@@ -381,8 +445,11 @@ class Trainer:
                 Xd, labd = shard_batch(self.mesh, X, labels)
                 loss, dets = jit_eval(params, stats, Xd, labd, sub)
                 losses.append(float(loss))
+                # multi-host: score only the rows THIS host contributed
+                # (its local labels) — other hosts' detections are not
+                # addressable here and are scored by their own process
                 preds, targets = detections_to_map_inputs(
-                    np.asarray(dets), labels
+                    dist.local_rows(dets), labels
                 )
                 map_metric.update(preds, targets)
         finally:
@@ -391,12 +458,22 @@ class Trainer:
             close = getattr(data_iter, "close", None)
             if close is not None:
                 close()
+        if dist.is_distributed():
+            # fold every host's accumulator + losses (torchmetrics'
+            # dist-sync analogue, soda.py:95); every host computes the
+            # identical merged result
+            gathered = dist.allgather_pickle((map_metric, losses))
+            map_metric, losses = gathered[0]
+            for other_metric, other_losses in gathered[1:]:
+                map_metric.merge(other_metric)
+                losses.extend(other_losses)
         result = map_metric.compute()
         out = {f"{prefix}_loss": float(np.mean(losses)) if losses else 0.0}
         out.update({k: float(v) for k, v in result.items()})
         return out
 
     def validate(self, model, data, params, stats) -> Dict[str, float]:
+        self._sync_data_sharding(data)
         self.mesh_for_batch(data.batch_size)
         _, _, jit_eval = self._build_steps(model)
         key = jax.random.PRNGKey(self.seed)
@@ -408,6 +485,7 @@ class Trainer:
         return metrics
 
     def test(self, model, data, params, stats) -> Dict[str, float]:
+        self._sync_data_sharding(data)
         self.mesh_for_batch(data.batch_size)
         _, _, jit_eval = self._build_steps(model)
         key = jax.random.PRNGKey(self.seed)
@@ -419,17 +497,27 @@ class Trainer:
         return metrics
 
     def predict(
-        self, model, data, params, stats, plotter, limit: int = 1
+        self, model, data, params, stats, plotter, limit: Optional[int] = None
     ) -> None:
         """Streaming visualization (soda.py:191-200): run sample 0 of
         each batch frame-by-frame through the stateful predict API and
-        hand frames to the plotter."""
+        hand frames to the plotter.
+
+        :param limit: Number of batches to render; defaults to the
+            ``limit_predict_batches`` trainer option. ``limit <= 0``
+            renders every batch the loader yields (the reference's
+            unbounded predict loop).
+        """
+        if limit is None:
+            limit = self.limit_predict_batches
         plotter.labels = data.get_labels()
         jit_predict = jax.jit(
             lambda p, s, x, st: model.predict(p, s, x, st)
         )
         for batch_idx, (X, labels) in enumerate(
-            itertools.islice(data.predict_loader(), limit)
+            itertools.islice(
+                data.predict_loader(), limit if limit > 0 else None
+            )
         ):
             frames = X[:, 0]  # [T, H, W, 2]
             state = model.init_state(1)

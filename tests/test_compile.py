@@ -201,3 +201,106 @@ def test_gradients_flow_through_block():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     # At least the final conv must receive nonzero gradient
     assert float(jnp.abs(g["b0"]["l3"]["w"]).sum()) > 0
+
+
+# ---- round-2 DSL additions (VERDICT items: Up modes, ConvLSTM k>1,
+# ---- max pool stride != kernel) ----
+
+
+def test_upsample_bilinear_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(0).normal(size=(2, 5, 7, 3)).astype(np.float32)
+    for mode in ("bilinear", "bicubic"):
+        blk = C.compile_block([S.Up(2, mode=mode)], 3, (5, 7))
+        assert blk.out_hw == (10, 14)
+        y, *_ = run(blk, jnp.asarray(x))
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=2, mode=mode
+        ).permute(0, 2, 3, 1).numpy()
+        # bilinear: exact kernel match (half-pixel centers). bicubic:
+        # JAX's Keys a=-0.5 vs torch's a=-0.75 — close but not equal
+        # (documented divergence in compile.py).
+        tol = 1e-5 if mode == "bilinear" else 0.3
+        np.testing.assert_allclose(np.asarray(y), ref, atol=tol)
+
+
+def test_upsample_linear_aliases_and_bad_mode():
+    x = jnp.ones((1, 2, 2, 1))
+    for mode in ("linear", "trilinear"):
+        blk = C.compile_block([S.Up(2, mode=mode)], 1, (2, 2))
+        y, *_ = run(blk, x)
+        assert y.shape == (1, 4, 4, 1)
+    with pytest.raises(NotImplementedError):
+        C.compile_block([S.Up(2, mode="lanczos")], 1, (2, 2))
+
+
+def test_maxpool_overlapping_stride_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(1).normal(size=(2, 9, 11, 4)).astype(np.float32)
+    blk = C.compile_block([S.Pool("M", kernel_size=3, stride=2)], 4, (9, 11))
+    y, *_ = run(blk, jnp.asarray(x))
+    ref = torch.nn.functional.max_pool2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), 3, 2
+    ).permute(0, 2, 3, 1).numpy()
+    assert y.shape == ref.shape == (2, 4, 5, 4)
+    np.testing.assert_allclose(np.asarray(y), ref)
+
+
+def test_maxpool_overlapping_is_differentiable_under_remat():
+    blk = C.compile_block([S.Pool("M", kernel_size=3, stride=1)], 1, (6, 6))
+
+    @jax.checkpoint
+    def f(x):
+        y, *_ = run(blk, x)
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(f)(jnp.arange(36.0).reshape(1, 6, 6, 1))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_conv_lstm_kernel3_same_padding_state_carries():
+    blk = C.compile_block([S.LSTM(hidden_size=5, kernel_size=3)], 3, (6, 8))
+    assert blk.out_channels == 5
+    assert blk.out_hw == (6, 8)
+    x = jnp.ones((2, 6, 8, 3))
+    y, _, state, params, _ = run(blk, x)
+    assert y.shape == (2, 6, 8, 5)
+    # second step consumes the carried state without shape desync
+    ctx = C.Ctx()
+    y2, _, state2 = blk.apply(params, blk.init_stats(), state, x, ctx)
+    assert y2.shape == (2, 6, 8, 5)
+    assert not np.allclose(np.asarray(y), np.asarray(y2))
+
+
+def test_conv_lstm_kernel3_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    in_ch, hidden, k, H, W = 3, 4, 3, 5, 6
+    blk = C.compile_block([S.LSTM(hidden_size=hidden, kernel_size=k)],
+                          in_ch, (H, W))
+    params = blk.init(jax.random.PRNGKey(0))
+    w = rng.normal(size=(k, k, in_ch + hidden, 4 * hidden)).astype(np.float32)
+    params["b0"]["l0"]["w"] = jnp.asarray(w)
+
+    conv = torch.nn.Conv2d(in_ch + hidden, 4 * hidden, k, padding=k // 2,
+                           bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w).permute(3, 2, 0, 1))
+
+    xs = rng.normal(size=(3, 2, H, W, in_ch)).astype(np.float32)
+    state = blk.init_state(2)
+    h = torch.zeros(2, hidden, H, W)
+    c = torch.zeros(2, hidden, H, W)
+    for t in range(3):
+        y, _, state = blk.apply(params, blk.init_stats(), state,
+                                jnp.asarray(xs[t]), C.Ctx())
+        with torch.no_grad():
+            gates = conv(torch.cat(
+                [torch.from_numpy(xs[t]).permute(0, 3, 1, 2), h], dim=1))
+            i_g, f_g, o_g, g_g = torch.split(gates, hidden, dim=1)
+            c = torch.sigmoid(f_g) * c + torch.sigmoid(i_g) * torch.tanh(g_g)
+            h = torch.sigmoid(o_g) * torch.tanh(c)
+        np.testing.assert_allclose(
+            np.asarray(y), h.permute(0, 2, 3, 1).numpy(), atol=2e-5
+        )
