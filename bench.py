@@ -9,6 +9,11 @@ Prints ONE JSON line:
   one jitted lax.scan, batch of sequences. Throughput counts processed
   event frames (T x B) per second of steady-state wall clock, with the
   dispatch overhead of the tunnel amortized over pipelined calls.
+  SCOPE: the headline times the network forward (backbone+neck+head
+  raw predictions) — the same scope as BASELINE.md's metric. Box
+  decode + NMS run once per sequence (not per frame) in real eval and
+  are timed separately in benchmarks/bench_streaming.py (detect-path
+  latency) rather than folded into this number.
 - Baseline: the same architecture executed with PyTorch on the host CPU
   (the reference's own stack minus the GPU it assumes;
   /root/reference/config/config.yaml:34 — the driver's north star is

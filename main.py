@@ -47,13 +47,11 @@ def load_model_state(trainer, model, ckpt_path):
     import jax.numpy as jnp
 
     params, stats = model.init(jax.random.PRNGKey(0))
+    # restore() trims the target to the keys the checkpoint actually
+    # holds (e.g. weights-only exports lack opt_state/step/epoch)
     target = {"params": params, "stats": stats, "opt_state": None,
               "step": 0, "epoch": 0}
-    try:
-        restored = trainer.ckpt.restore(ckpt_path, target=target)
-    except Exception:
-        # allow restoring checkpoints saved without opt_state
-        restored = trainer.ckpt.restore(ckpt_path)
+    restored = trainer.ckpt.restore(ckpt_path, target=target)
     return restored["params"], restored["stats"]
 
 

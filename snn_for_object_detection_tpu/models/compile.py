@@ -51,6 +51,11 @@ class Ctx:
     # Time-batched mode only: [T] bool, step t active iff step_mask[t]
     # (the random-start truncation gate; None = all steps active).
     step_mask: Optional[Array] = None
+    # Time-batched mode only: run eligible [Conv3x3 -> BN -> LIF/LI]
+    # units as ONE fused temporal Pallas kernel (inference fast path;
+    # fp32-accumulation order differs from the XLA conv, so spikes can
+    # flip on ~0.2% of near-threshold pixels — opt-in).
+    fuse: bool = False
 
 
 @dataclasses.dataclass
@@ -77,6 +82,9 @@ class CompiledBlock:
     init_state: Callable[[int], Any]  # batch -> state pytree
     apply: Callable[[Params, Params, Any, Array, Ctx], Tuple[Array, Params, Any]]
     apply_seq: Optional[Callable] = None
+    # leaf descriptor for cross-layer fusion in seq mode, e.g.
+    # ("conv", k, s) / ("norm", eps) / ("cell", "lif", record)
+    meta: Optional[Tuple] = None
 
     def __post_init__(self):
         if self.apply_seq is None:
@@ -238,7 +246,8 @@ def _compile_leaf(
         def apply(params, stats, state, x, ctx, s=s, pad=pad):
             return _conv2d(x, params["w"], s, pad), stats, state
 
-        return CompiledBlock(out, out_hw, init, _empty_stats, _empty_state, apply)
+        return CompiledBlock(out, out_hw, init, _empty_stats, _empty_state,
+                             apply, meta=("conv", k, s))
 
     if isinstance(layer, S.Norm):
         def init(key, ch=in_ch, bias=layer.bias):
@@ -316,7 +325,7 @@ def _compile_leaf(
             return y.astype(X.dtype), new_stats, state
 
         return CompiledBlock(in_ch, in_hw, init, init_stats, _empty_state,
-                             apply, apply_seq=apply_seq)
+                             apply, apply_seq=apply_seq, meta=("norm", eps))
 
     if isinstance(layer, S.Pool):
         k = layer.kernel_size
@@ -522,6 +531,7 @@ def _compile_leaf(
         return CompiledBlock(
             in_ch, in_hw, _empty_init, _empty_stats, init_state, apply,
             apply_seq=apply_seq,
+            meta=("cell", pallas_cell, record) if pallas_cell else None,
         )
 
     if isinstance(layer, S.LSTM):
@@ -685,7 +695,45 @@ def compile_block(
             for bi, layers in enumerate(branches)
         }
 
+    def _fused_groups(layers):
+        """Indices of [Conv3x3 s1 -> Norm -> LIF/LI] triples eligible
+        for the fused temporal Pallas kernel (seq mode, eval only)."""
+        groups = {}
+        li = 0
+        while li + 2 < len(layers):
+            m0, m1, m2 = (layers[li].meta, layers[li + 1].meta,
+                          layers[li + 2].meta)
+            if (
+                m0 is not None and m0[0] == "conv" and m0[1:] == (3, 1)
+                and m1 is not None and m1[0] == "norm"
+                and m2 is not None and m2[0] == "cell"
+            ):
+                groups[li] = (m1[1], m2[1], m2[2])  # eps, cell, record
+                li += 3
+            else:
+                li += 1
+        return groups
+
+    def _run_fused(layers, li, eps, cell, params_b, stats_b, state_b, X):
+        from snn_for_object_detection_tpu.ops import pallas_kernels
+
+        p_norm = params_b[f"l{li + 1}"]
+        s_norm = stats_b[f"l{li + 1}"]
+        a = jax.lax.rsqrt(s_norm["var"] + eps) * p_norm["scale"]
+        b = -s_norm["mean"] * a
+        if "bias" in p_norm:
+            b = b + p_norm["bias"]
+        st = state_b[f"l{li + 2}"]
+        z, v_t, i_t = pallas_kernels.spiking_conv_seq(
+            X, params_b[f"l{li}"]["w"].astype(X.dtype), a, b,
+            st.v, st.i, cell=cell,
+        )
+        return z, type(st)(v_t, i_t)
+
     def _make_apply(seq: bool):
+        fused_plans = [_fused_groups(layers) for layers in branches] if seq \
+            else [{} for _ in branches]
+
         def apply(params, stats, state, x, ctx):
             outs = []
             new_stats = {}
@@ -694,17 +742,36 @@ def compile_block(
                 y = x
                 b_stats = {}
                 b_state = {}
-                for li, layer in enumerate(layers):
+                plan = fused_plans[bi]
+                p_b = params[f"b{bi}"]
+                s_b = stats[f"b{bi}"]
+                st_b = state[f"b{bi}"]
+                li = 0
+                while li < len(layers):
+                    grp = plan.get(li) if (
+                        ctx.fuse and not ctx.train and ctx.step_mask is None
+                    ) else None
+                    if grp is not None and not (grp[2] and ctx.record):
+                        eps, cell, _ = grp
+                        y, cell_state = _run_fused(
+                            layers, li, eps, cell, p_b, s_b, st_b, y
+                        )
+                        b_stats[f"l{li}"] = s_b[f"l{li}"]
+                        b_stats[f"l{li + 1}"] = s_b[f"l{li + 1}"]
+                        b_stats[f"l{li + 2}"] = s_b[f"l{li + 2}"]
+                        b_state[f"l{li}"] = st_b[f"l{li}"]
+                        b_state[f"l{li + 1}"] = st_b[f"l{li + 1}"]
+                        b_state[f"l{li + 2}"] = cell_state
+                        li += 3
+                        continue
+                    layer = layers[li]
                     fn = layer.apply_seq if seq else layer.apply
                     y, s2, st2 = fn(
-                        params[f"b{bi}"][f"l{li}"],
-                        stats[f"b{bi}"][f"l{li}"],
-                        state[f"b{bi}"][f"l{li}"],
-                        y,
-                        ctx,
+                        p_b[f"l{li}"], s_b[f"l{li}"], st_b[f"l{li}"], y, ctx
                     )
                     b_stats[f"l{li}"] = s2
                     b_state[f"l{li}"] = st2
+                    li += 1
                 outs.append(y)
                 new_stats[f"b{bi}"] = b_stats
                 new_state[f"b{bi}"] = b_state

@@ -67,6 +67,7 @@ class SODa:
         state_dtype=jnp.float32,
         remat: bool = True,
         scan_unroll: int = 1,
+        fuse_seq: bool = False,
     ):
         self.num_classes = num_classes
         self.in_hw = tuple(in_hw)
@@ -82,6 +83,11 @@ class SODa:
         # lax.scan unroll factor: 2 measures ~9% faster at inference
         # (cross-step fusion); 1 keeps compiles fastest.
         self.scan_unroll = scan_unroll
+        # forward_seq eval fast path: fuse [Conv3x3 -> BN -> LIF/LI]
+        # units into one temporal Pallas kernel (state in VMEM). Spikes
+        # can differ from the scan path on ~0.2% of near-threshold
+        # pixels (fp32 accumulation order) — opt-in.
+        self.fuse_seq = fuse_seq
 
         self.backbone = C.compile_block(
             self.backbone_cfgs(), in_channels, self.in_hw, "backbone",
@@ -263,6 +269,28 @@ class SODa:
         bbox_preds = jnp.concatenate(box_list, axis=1)
         return (cls_preds, bbox_preds), new_stats, new_state, ctx.records
 
+    def _cast_weights(self, params: Any) -> Any:
+        """Pre-cast conv/ConvLSTM kernels (4-D fp32 leaves) to the
+        compute dtype ONCE, outside the time loop.
+
+        XLA does not hoist the per-step ``w.astype(bf16)`` (+ its
+        layout retile) out of the scan body — profiling shows the
+        resulting data-formatting copies cost ~29% of a T=32 forward.
+        Casting here makes the in-step cast a no-op. BN/neuron params
+        (1-D) keep fp32: their math runs in fp32 by design."""
+        if self.compute_dtype == jnp.float32:
+            return params
+        cast = jax.tree.map(
+            lambda a: a.astype(self.compute_dtype)
+            if a.ndim == 4 and a.dtype == jnp.float32
+            else a,
+            params,
+        )
+        # XLA deliberately sinks "cheap" converts back into while
+        # bodies; the barrier pins the casts (and their layout retile)
+        # outside the scan.
+        return jax.lax.optimization_barrier(cast)
+
     # ----- sequence forward (soda.py:138-144 + 246-257) -----
 
     def forward(
@@ -283,6 +311,7 @@ class SODa:
         :return: ((cls_preds, bbox_preds), new_stats, final_state)
         """
         T, B = X.shape[0], X.shape[1]
+        params = self._cast_weights(params)
         if state is None:
             state = self.init_state(B)
         cls0 = jnp.zeros(
@@ -358,13 +387,15 @@ class SODa:
             BN running stats frozen), matching :meth:`forward`.
         """
         T, B = X.shape[0], X.shape[1]
+        params = self._cast_weights(params)
         if state is None:
             state = self.init_state(B)
         if isinstance(start_step, int) and start_step == 0:
             mask = None
         else:
             mask = jnp.arange(T) >= start_step
-        ctx = C.Ctx(train=train, step_mask=mask)
+        ctx = C.Ctx(train=train, step_mask=mask,
+                    fuse=self.fuse_seq and not train)
         x = X.astype(self.compute_dtype)
 
         new_stats: Dict[str, Any] = {}

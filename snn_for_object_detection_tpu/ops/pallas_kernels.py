@@ -307,3 +307,173 @@ def xla_pointwise_conv_bn_lif(x, w, a, b, v, i):
     v_new = (1.0 - z) * v_dec
     i_new = i_dec + y
     return z.astype(x.dtype), v_new.astype(v.dtype), i_new.astype(i.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused temporal spiking-conv kernel: 3x3 conv + BN affine + LIF/LI,
+# whole time loop inside, neuron state resident in VMEM
+# ---------------------------------------------------------------------------
+#
+# The profiled seq-path cost of one spiking conv unit is dominated by
+# glue, not math: the conv fusion emits a batch-minor layout, the BN
+# affine is a separate full-tensor pass, the temporal cell kernel needs
+# channel-minor input, and XLA inserts full relayout copies at each
+# boundary (~60% of forward_seq wall time is copies/affines/reshapes).
+# This kernel replaces the whole [Conv 3x3 s1 -> BN(eval) -> LIF/LI]
+# unit for a [T, N, H, W, C] sequence with ONE pass:
+#
+#   grid (N, H/rH, T), t innermost; per (n, h-block):
+#     t=0: load (v, i) block into VMEM scratch
+#     each t: DMA the (rH+2, W+2, Cin) input slab from HBM,
+#             per output row: im2col by lane-concat of 9 shifted
+#             (W, Cin) slices -> ONE (W, 9*Cin) @ (9*Cin, Cout) MXU
+#             matmul (fp32 accumulate), round to the compute dtype,
+#             BN affine, cell update in fp32 (VPU),
+#             write the spike/voltage row
+#     t=T-1: flush (v, i) scratch to the outputs
+#
+# HBM traffic = read x_seq once + write z_seq once (+ states once);
+# the conv/BN intermediates and the (v, i) time loop never leave VMEM.
+
+def _spiking_conv_kernel(cell, rh, w_width, cin):
+    def kernel(x_ref, w_ref, a_ref, b_ref, v0_ref, i0_ref,
+               z_ref, vT_ref, iT_ref, col_s, v_s, i_s):
+        t = pl.program_id(2)
+
+        @pl.when(t == 0)
+        def _():
+            v_s[:] = v0_ref[0]
+            i_s[:] = i0_ref[0]
+
+        x_s = x_ref[0, 0, 0]      # (rh+2, W+2, Cin) halo slab
+        w_mat = w_ref[:]          # (9*Cin, Cout)
+        a = a_ref[:]
+        b = b_ref[:]
+        for h in range(rh):
+            # im2col row: 9 shifted (W, Cin) windows, lane-concat
+            # im2col through VMEM scratch: register-level lane-concat of
+            # nine offset slices trips Mosaic's layout inference, so the
+            # windows are staged via stores (VMEM-local, never HBM)
+            for dy in range(3):
+                row = x_s[h + dy]             # (W+2, Cin)
+                for dx in range(3):
+                    k = dy * 3 + dx
+                    col_s[:, k * cin:(k + 1) * cin] = row[dx:dx + w_width, :]
+            lhs = col_s[:]                    # (W, 9*Cin)
+            y = jnp.dot(lhs, w_mat,
+                        preferred_element_type=jnp.float32)
+            # conv rounds to the compute dtype, then the eval-mode
+            # BN affine runs in that dtype (matches the XLA path:
+            # compile._bn_eval_affine)
+            y = y.astype(z_ref.dtype).astype(jnp.float32)
+            y = y * a + b
+            y = y.astype(z_ref.dtype).astype(jnp.float32)
+            v = v_s[h].astype(jnp.float32)
+            i = i_s[h].astype(jnp.float32)
+            if cell == "lif":
+                v_dec = v + _DT * _TAU_MEM_INV * ((_V_LEAK - v) + i)
+                i_dec = i - _DT * _TAU_SYN_INV * i
+                spike = v_dec - _V_TH > 0
+                v = jnp.where(spike, 0.0, v_dec)
+                i = i_dec + y
+                out = spike
+            else:  # "li"
+                i_jump = i + y
+                v = v + _DT * _TAU_MEM_INV * ((_V_LEAK - v) + i_jump)
+                i = i_jump - _DT * _TAU_SYN_INV * i_jump
+                out = v
+            v_s[h] = v.astype(v_s.dtype)
+            i_s[h] = i.astype(i_s.dtype)
+            z_ref[0, 0, h] = out.astype(z_ref.dtype)
+
+        @pl.when(t == pl.num_programs(2) - 1)
+        def _():
+            vT_ref[0] = v_s[:]
+            iT_ref[0] = i_s[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cell", "interpret")
+)
+def _spiking_conv_seq_impl(x_seq, w, a, b, v0, i0, cell, interpret):
+    T, N, H, W, cin = x_seq.shape
+    cout = w.shape[-1]
+    # kernel as one (9*Cin, Cout) matmul operand, row-major (dy, dx, ci)
+    w_mat = w.reshape(9 * cin, cout).astype(x_seq.dtype)
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    xp = jnp.pad(x_seq, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+
+    rh = 1
+    for cand in (8, 6, 5, 4, 3, 2):
+        if H % cand == 0:
+            rh = cand
+            break
+    hb = H // rh
+    # Pre-gather the +-1-row halo slabs: [T, N, HB, rh+2, W+2, Cin].
+    # Costs one extra ~1.25x pass over x in HBM but lets every operand
+    # use a plain blocked spec — Pallas double-buffers the DMAs itself
+    # (manual HBM slices of tiled memrefs are rejected by Mosaic).
+    slabs = jnp.stack(
+        [xp[:, :, i * rh : i * rh + rh + 2] for i in range(hb)], axis=2
+    )
+    grid = (N, hb, T)
+
+    state_spec = pl.BlockSpec(
+        (1, rh, W, cout), lambda n, hb, t: (n, hb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    z_spec = pl.BlockSpec(
+        (1, 1, rh, W, cout), lambda n, hb, t: (t, n, hb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda n, hb, t: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    x_spec = pl.BlockSpec(
+        (1, 1, 1, rh + 2, W + 2, cin), lambda n, hb, t: (t, n, hb, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    z, vT, iT = pl.pallas_call(
+        _spiking_conv_kernel(cell, rh, W, cin),
+        grid=grid,
+        in_specs=[x_spec, full((9 * cin, cout)), full((cout,)),
+                  full((cout,)), state_spec, state_spec],
+        out_specs=[z_spec, state_spec, state_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N, H, W, cout), x_seq.dtype),
+            jax.ShapeDtypeStruct((N, H, W, cout), v0.dtype),
+            jax.ShapeDtypeStruct((N, H, W, cout), i0.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, 9 * cin), x_seq.dtype),
+            pltpu.VMEM((rh, W, cout), v0.dtype),
+            pltpu.VMEM((rh, W, cout), i0.dtype),
+        ],
+        interpret=interpret,
+    )(slabs, w_mat, a, b, v0, i0)
+    return z, vT, iT
+
+
+def spiking_conv_seq(
+    x_seq: jax.Array,   # [T, N, H, W, Cin] compute-dtype sequence
+    w: jax.Array,       # [3, 3, Cin, Cout] conv kernel
+    a: jax.Array,       # [Cout] folded eval-BN scale
+    b: jax.Array,       # [Cout] folded eval-BN offset
+    v0: jax.Array,      # [N, H, W, Cout] initial membrane (state dtype)
+    i0: jax.Array,      # [N, H, W, Cout] initial current
+    cell: str = "lif",
+    interpret: bool | None = None,
+):
+    """Fused [3x3 same-conv -> eval BN -> LIF/LI] over a whole
+    sequence: returns (z_seq, v_T, i_T). Inference-path only (eval-mode
+    BN, no truncation mask); callers fall back to the unfused seq path
+    for training/recording."""
+    if cell not in ("lif", "li"):
+        raise ValueError(f"unsupported cell {cell!r}")
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    return _spiking_conv_seq_impl(x_seq, w, a, b, v0, i0, cell, interpret)

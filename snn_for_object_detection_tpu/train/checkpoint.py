@@ -134,12 +134,56 @@ class CheckpointManager:
         )
         return os.path.join(self.directory, ranked[0][0])
 
+    def stored_keys(self, path: Optional[str] = None) -> Optional[set]:
+        """Top-level keys present in a saved checkpoint (from Orbax
+        metadata, no tensor reads), or None if the structure is not a
+        mapping. Lets callers build a restore target matching what was
+        actually saved instead of guessing via try/except — a genuinely
+        corrupt checkpoint then fails with its real error."""
+        if path is None:
+            path = os.path.join(self.directory, "last")
+        meta = self._ckpt.metadata(os.path.abspath(path))
+        # StepMetadata -> TreeMetadata -> dict tree (orbax >= 0.6)
+        item = getattr(meta, "item_metadata", meta)
+        tree = getattr(item, "tree", item)
+        if isinstance(tree, dict):
+            return set(tree.keys())
+        return None
+
     def restore(self, path: Optional[str] = None, target: Any = None) -> Any:
-        """Restore a checkpoint pytree. ``path=None`` -> 'last'."""
+        """Restore a checkpoint pytree. ``path=None`` -> 'last'.
+
+        A dict ``target`` is reconciled with the keys the checkpoint
+        really contains: target keys the checkpoint lacks are dropped
+        (older checkpoints predate some keys, e.g. the early-stopping
+        state), and stored keys the target omits come back as None
+        without reading their data (weights-only loads skip the
+        opt_state bytes). Callers read optional keys with
+        ``restored.get(...)``; a genuinely corrupt checkpoint surfaces
+        its real Orbax error."""
         if path is None:
             path = os.path.join(self.directory, "last")
         path = os.path.abspath(path)
         if target is not None:
+            if isinstance(target, dict):
+                stored = self.stored_keys(path)
+                if stored is not None:
+                    trimmed = {
+                        k: v
+                        for k, v in target.items()
+                        if k in stored and v is not None
+                    }
+                    if trimmed.keys() != stored:
+                        # skip unrequested stored keys without reading
+                        # their data (e.g. opt_state on a weights-only
+                        # load)
+                        return self._ckpt.restore(
+                            path,
+                            args=ocp.args.PyTreeRestore(
+                                item=trimmed, partial_restore=True
+                            ),
+                        )
+                    target = trimmed
             return self._ckpt.restore(path, item=target)
         return self._ckpt.restore(path)
 

@@ -315,13 +315,10 @@ class Trainer:
                 "best_metric": 0.0,
                 "checks_since_best": 0,
             }
-            try:
-                restored = self.ckpt.restore(ckpt_path, target=target)
-            except Exception:
-                # checkpoints written before early-stopping state was
-                # persisted lack the two callback keys
-                del target["best_metric"], target["checks_since_best"]
-                restored = self.ckpt.restore(ckpt_path, target=target)
+            # restore() trims the target to the keys actually stored
+            # (pre-early-stopping checkpoints lack the callback keys);
+            # a corrupt checkpoint surfaces its real Orbax error
+            restored = self.ckpt.restore(ckpt_path, target=target)
             params = restored["params"]
             stats = restored["stats"]
             opt_state = restored["opt_state"]

@@ -120,6 +120,34 @@ def test_forward_seq_jit_and_grad(setup):
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+def test_forward_seq_fused_matches_unfused(setup):
+    """fuse_seq=True routes eligible [Conv3x3 s1 -> Norm -> LIF/LI]
+    triples through the fused temporal Pallas kernel; outputs and final
+    state must match the unfused seq path (fp32: exact up to matmul
+    accumulation order)."""
+    m, params, stats, X = setup
+    mf = SeqYolo(num_classes=2, in_hw=(24, 32), fuse_seq=True)
+    # eligibility sanity: the backbone Residual branch fuses
+    import snn_for_object_detection_tpu.models.compile as C  # noqa: F401
+    preds_a, stats_a, state_a = m.forward_seq(params, stats, X)
+    preds_b, stats_b, state_b = mf.forward_seq(params, stats, X)
+    _assert_tree_close(preds_a, preds_b, rtol=1e-4, atol=1e-5)
+    _assert_tree_close(state_a, state_b, rtol=1e-4, atol=1e-5)
+    _assert_tree_close(stats_a, stats_b, rtol=1e-5, atol=1e-6)
+
+
+def test_forward_seq_fused_fallback_paths(setup):
+    """Training mode and truncation masks must bypass the fused kernel
+    (it implements eval BN + no gating) and still be correct."""
+    m, params, stats, X = setup
+    mf = SeqYolo(num_classes=2, in_hw=(24, 32), fuse_seq=True)
+    for kw in [dict(train=True), dict(start_step=jnp.asarray(3))]:
+        preds_a, stats_a, _ = m.forward_seq(params, stats, X, **kw)
+        preds_b, stats_b, _ = mf.forward_seq(params, stats, X, **kw)
+        _assert_tree_close(preds_a, preds_b, rtol=1e-5, atol=1e-6)
+        _assert_tree_close(stats_a, stats_b, rtol=1e-5, atol=1e-6)
+
+
 def test_forward_seq_records(setup):
     """Record mode: per-layer (state, out) sequences time-stacked,
     matching forward_with_records."""
