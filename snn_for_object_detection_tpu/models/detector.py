@@ -269,6 +269,79 @@ class SODa:
         bbox_preds = jnp.concatenate(box_list, axis=1)
         return (cls_preds, bbox_preds), new_stats, new_state, ctx.records
 
+    # ----- deferred head readout (scan fast path) -----
+    #
+    # ``forward`` returns LAST-step predictions only (soda.py:138-144),
+    # so when the head box/cls tails are stateless and stat-free (the
+    # flagship config: bare 1x1 convs, ``_head_tails_light``) they do
+    # not need to run inside the scan at all: the scan carries the
+    # per-scale stem activations and the tails run ONCE post-scan on
+    # the final carry — bit-identical predictions, T-1 fewer tail
+    # convs + flatten/concats.
+
+    def _trunk(
+        self, params: Any, stats: Any, state: Any, x: Array, ctx: C.Ctx
+    ) -> Tuple[Tuple[Array, ...], Any, Any]:
+        """Backbone + neck + head stems for one frame; box/cls tails
+        deferred (their stats/state pass through untouched)."""
+        new_stats: Dict[str, Any] = {}
+        new_state: Dict[str, Any] = {}
+        x = x.astype(self.compute_dtype)
+        y, new_stats["backbone"], new_state["backbone"] = self.backbone.apply(
+            params["backbone"], stats["backbone"], state["backbone"], x, ctx
+        )
+        _, new_stats["neck"], new_state["neck"] = self.neck.apply(
+            params["neck"], stats["neck"], state["neck"], y, ctx
+        )
+        pyramid = ctx.taps
+        if len(pyramid) != len(self.heads):
+            raise RuntimeError("neck produced wrong number of pyramid taps")
+        base_outs = []
+        for idx, (head, fmap) in enumerate(zip(self.heads, pyramid)):
+            hp = params[f"head{idx}"]
+            hs = stats[f"head{idx}"]
+            hst = state[f"head{idx}"]
+            base_out, ns_base, nst_base = head["base"].apply(
+                hp["base"], hs["base"], hst["base"], fmap, ctx
+            )
+            new_stats[f"head{idx}"] = {
+                "base": ns_base, "box": hs["box"], "cls": hs["cls"]
+            }
+            new_state[f"head{idx}"] = {
+                "base": nst_base, "box": hst["box"], "cls": hst["cls"]
+            }
+            base_outs.append(base_out)
+        return tuple(base_outs), new_stats, new_state
+
+    def _tail_readout(
+        self,
+        params: Any,
+        stats: Any,
+        state: Any,
+        base_outs: Tuple[Array, ...],
+        ctx: C.Ctx,
+    ) -> Tuple[Array, Array]:
+        """Apply the (stateless) box/cls tails to stem activations and
+        flatten/concat across scales (generator.py:451-457)."""
+        cls_list, box_list = [], []
+        for idx, base_out in enumerate(base_outs):
+            hp = params[f"head{idx}"]
+            hs = stats[f"head{idx}"]
+            hst = state[f"head{idx}"]
+            box_out, _, _ = self.heads[idx]["box"].apply(
+                hp["box"], hs["box"], hst["box"], base_out, ctx
+            )
+            cls_out, _, _ = self.heads[idx]["cls"].apply(
+                hp["cls"], hs["cls"], hst["cls"], base_out, ctx
+            )
+            b = box_out.shape[0]
+            box_list.append(box_out.reshape(b, -1, 4))
+            cls_list.append(cls_out.reshape(b, -1, self.num_classes + 1))
+        return (
+            jnp.concatenate(cls_list, axis=1),
+            jnp.concatenate(box_list, axis=1),
+        )
+
     def _cast_weights(self, params: Any) -> Any:
         """Pre-cast conv/ConvLSTM kernels (4-D fp32 leaves) to the
         compute dtype ONCE, outside the time loop.
@@ -314,14 +387,35 @@ class SODa:
         params = self._cast_weights(params)
         if state is None:
             state = self.init_state(B)
-        cls0 = jnp.zeros(
-            (B, self.num_anchors, self.num_classes + 1), jnp.float32
-        )
-        box0 = jnp.zeros((B, self.num_anchors, 4), jnp.float32)
+
+        deferred = self._head_tails_light
+        if deferred:
+            # Carry the per-scale stem activations; run the stateless
+            # box/cls tails ONCE after the scan (bit-identical: only
+            # the last step's tail outputs are ever returned).
+            carry0 = tuple(
+                jnp.zeros(
+                    (B, *h["base"].out_hw, h["base"].out_channels),
+                    self.compute_dtype,
+                )
+                for h in self.heads
+            )
+        else:
+            carry0 = (
+                jnp.zeros(
+                    (B, self.num_anchors, self.num_classes + 1), jnp.float32
+                ),
+                jnp.zeros((B, self.num_anchors, 4), jnp.float32),
+            )
 
         static_full = isinstance(start_step, int) and start_step == 0
 
         def run_step(stats, state, x_t):
+            if deferred:
+                base_outs, s2, st2 = self._trunk(
+                    params, stats, state, x_t, C.Ctx(train=train)
+                )
+                return s2, st2, base_outs
             (cls_p, box_p), s2, st2, _ = self.step(
                 params, stats, state, x_t, train=train
             )
@@ -332,31 +426,38 @@ class SODa:
             # No truncation: plain scan, no per-step branch.
             def body(carry, x_t):
                 stats, state, _ = carry
-                stats, state, preds = run_step(stats, state, x_t)
-                return (stats, state, preds), None
+                stats, state, out = run_step(stats, state, x_t)
+                return (stats, state, out), None
 
             xs = X
         else:
             def body(carry, inp):
-                stats, state, preds = carry
+                stats, state, out = carry
                 x_t, t = inp
-                stats, state, preds = jax.lax.cond(
+                stats, state, out = jax.lax.cond(
                     t >= start_step,
                     lambda _: run_step(stats, state, x_t),
-                    lambda _: (stats, state, preds),
+                    lambda _: (stats, state, out),
                     None,
                 )
-                return (stats, state, preds), None
+                return (stats, state, out), None
 
             xs = (X, jnp.arange(T))
 
         if self.remat:
             body = jax.checkpoint(body)
 
-        (stats, state, preds), _ = jax.lax.scan(
-            body, (stats, state, (cls0, box0)), xs,
+        (stats, state, out), _ = jax.lax.scan(
+            body, (stats, state, carry0), xs,
             unroll=self.scan_unroll,
         )
+        if deferred:
+            cls_p, box_p = self._tail_readout(
+                params, stats, state, out, C.Ctx(train=train)
+            )
+            preds = (cls_p.astype(jnp.float32), box_p.astype(jnp.float32))
+        else:
+            preds = out
         return preds, stats, state
 
     # ----- time-batched sequence forward -----

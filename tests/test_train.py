@@ -132,6 +132,31 @@ def test_plotter_writes_video(tmp_path):
     assert os.path.getsize(tmp_path / "out7.avi") > 0
 
 
+def test_predict_over_mt_windows(synth_root, tmp_path):
+    """End-to-end MT path (weak-spot coverage): multi-target fixed
+    windows (one_label=False, datasets.py:290-344) feed the streaming
+    predict loop and render a video — the reference's use of the MT
+    dataset (predict/visualization; its 6-column labels are untrainable
+    by design, detector.loss rejects them)."""
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=1)
+    dm = PropheseeDataModule(
+        data_dir=synth_root, dataset="gen1", batch_size=2, num_workers=1,
+        num_load_file=2, num_steps=4, time_step=16, one_label=False,
+        max_labels=8, seed=0,
+    )
+    # MT windows really flow: 6-column window-relative labels
+    X, labels = next(iter(dm.predict_loader()))
+    assert X.shape[0] == 4 and labels.shape[-1] == 6
+    params, stats = model.init(jax.random.PRNGKey(0))
+    trainer = Trainer(out_dir=str(tmp_path / "run"), seed=0,
+                      limit_predict_batches=1)
+    plotter = Plotter(save_video=True, show_video=False,
+                      file_path=str(tmp_path / "vid"))
+    trainer.predict(model, dm, params, stats, plotter)
+    vids = [f for f in os.listdir(tmp_path / "vid") if f.endswith(".avi")]
+    assert vids, "MT predict must write a video"
+
+
 def test_fit_auto_resume(synth_root, tmp_path):
     """ckpt_path='auto' resumes from the run's own last checkpoint."""
     model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
