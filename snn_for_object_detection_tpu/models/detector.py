@@ -68,6 +68,8 @@ class SODa:
         remat: bool = True,
         scan_unroll: int = 1,
         fuse_seq: bool = False,
+        anchor_sizes=None,
+        anchor_ratios=None,
     ):
         self.num_classes = num_classes
         self.in_hw = tuple(in_hw)
@@ -107,9 +109,26 @@ class SODa:
         self.neck_out_shape = neck_returns  # [(channels, (h, w)), ...]
 
         # --- anchors (generator.py:389-399) ---
+        # Defaults reproduce the reference's linspace size table and
+        # (0.5, 1, 2) ratios; pass ``anchor_sizes`` ([num_scales, S],
+        # e.g. from ops.anchors.calc_anchor_params / scripts/
+        # calc_anchors.py — the reference's "TODO Automatic
+        # calculation") and/or ``anchor_ratios`` to override.
         num_scales = len(neck_returns)
-        sizes = anchor_ops.default_scale_sizes(num_scales)
-        ratios = anchor_ops.DEFAULT_RATIOS
+        if anchor_sizes is not None:
+            sizes = np.asarray(anchor_sizes, np.float32)
+            if sizes.ndim != 2 or sizes.shape[0] != num_scales:
+                raise ValueError(
+                    f"anchor_sizes must be [{num_scales} scales, "
+                    f"sizes_per_scale], got {sizes.shape}"
+                )
+        else:
+            sizes = anchor_ops.default_scale_sizes(num_scales)
+        ratios = (
+            np.asarray(anchor_ratios, np.float32)
+            if anchor_ratios is not None
+            else anchor_ops.DEFAULT_RATIOS
+        )
         anchors_per_pixel = sizes.shape[1] * len(ratios)
         self.num_box_out = anchors_per_pixel * 4
         self.num_class_out = anchors_per_pixel * (num_classes + 1)

@@ -4,6 +4,7 @@ from snn_for_object_detection_tpu.parallel import distributed
 from snn_for_object_detection_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    prefetch_to_device,
     replicated,
     shard_batch,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "batch_sharding",
     "distributed",
     "make_mesh",
+    "prefetch_to_device",
     "replicated",
     "shard_batch",
 ]

@@ -63,3 +63,68 @@ def shard_batch(mesh: Mesh, features: Any, labels: Any):
         f = jax.device_put(features, f_sh)
         l = jax.device_put(labels, l_sh)
     return f, l
+
+
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
+    """Wrap a host batch iterator with background device placement.
+
+    A daemon thread pulls ``(features, labels)`` from ``iterator`` and
+    calls :func:`shard_batch` up to ``size`` batches ahead of the
+    consumer, so host rasterization + host->device transfer overlap
+    the previous train step instead of serializing with it (the
+    double-buffered prefetch from ROADMAP; ``jax.device_put`` is async,
+    the thread only *enqueues* transfers). ``size <= 0`` degrades to
+    synchronous per-batch placement.
+
+    Worker exceptions re-raise at the consumer's ``next()``. The
+    generator's ``close()`` stops the worker promptly (it also closes
+    the wrapped iterator so loader threads exit).
+    """
+    if size <= 0:
+        for features, labels in iterator:
+            yield shard_batch(mesh, features, labels)
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for features, labels in iterator:
+                if stop.is_set():
+                    return
+                q.put(("ok", shard_batch(mesh, features, labels)))
+                if stop.is_set():
+                    return
+            q.put(("end", None))
+        except BaseException as e:  # re-raised by the consumer
+            q.put(("err", e))
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="device-prefetch")
+    t.start()
+    try:
+        while True:
+            kind, payload = q.get()
+            if kind == "ok":
+                yield payload
+            elif kind == "end":
+                return
+            else:
+                raise payload
+    finally:
+        stop.set()
+        close = getattr(iterator, "close", None)
+        if close is not None:
+            try:
+                close()
+            except Exception:
+                pass
+        # unblock the worker if it is parked on a full queue
+        try:
+            q.get_nowait()
+        except Exception:
+            pass

@@ -32,6 +32,7 @@ import optax
 from snn_for_object_detection_tpu.parallel import (
     batch_sharding,
     make_mesh,
+    prefetch_to_device,
     replicated,
     shard_batch,
 )
@@ -105,6 +106,7 @@ class Trainer:
         accumulate_grad_batches: int = 1,
         fast_dev_run: bool = False,
         limit_predict_batches: int = 1,
+        prefetch_batches: int = 2,
         logger: Any = None,
     ):
         if fast_dev_run:
@@ -133,6 +135,9 @@ class Trainer:
         self.accumulate_grad_batches = max(accumulate_grad_batches, 1)
         self.fast_dev_run = fast_dev_run
         self.limit_predict_batches = limit_predict_batches
+        # device-resident batches kept ahead of the train step
+        # (background host->device transfer; 0 = synchronous)
+        self.prefetch_batches = prefetch_batches
         # Tracker backends (the trainer.logger config surface, reference
         # main.py:13-16): a class_path/init_args dict, a list of them,
         # or pre-built objects with log_metrics/close.
@@ -330,7 +335,11 @@ class Trainer:
             checks_since_best = int(restored.get("checks_since_best", 0))
             print(f"resumed from {ckpt_path} at step {step}", flush=True)
 
-        train_iter = data.train_loader()
+        # background host->device prefetch: rasterization + transfer of
+        # the next batches overlap the current train step
+        train_iter = prefetch_to_device(
+            data.train_loader(), self.mesh, self.prefetch_batches
+        )
         val_iter_factory = data.val_loader
 
         # Profiling hook (SURVEY.md §5.1): capture a TensorBoard/Perfetto
@@ -343,9 +352,8 @@ class Trainer:
             # ---- one train epoch ----
             losses = []
             for _ in range(self.limit_train_batches):
-                X, labels = next(train_iter)
+                Xd, labd = next(train_iter)
                 key, sub = jax.random.split(key)
-                Xd, labd = shard_batch(self.mesh, X, labels)
                 if step == profile_at and not profiling:
                     jax.profiler.start_trace(self.profile_dir)
                     profiling = True
@@ -420,6 +428,7 @@ class Trainer:
                     )
                     break
 
+        train_iter.close()  # stop prefetch + loader worker threads now
         self.logger.close()
         dist.barrier("fit_end")
         return {

@@ -222,3 +222,26 @@ def test_loss_rejects_mt_labels(micro, micro_vars):
     mt_labels = jnp.zeros((1, 3, 6))  # (frame_idx, class, xyxy)
     with pytest.raises(ValueError, match="single-target"):
         micro.loss(preds, mt_labels)
+
+
+def test_custom_anchor_params():
+    """anchor_sizes/anchor_ratios ctor overrides (data-driven anchors,
+    scripts/calc_anchors.py) change the anchor table and the head
+    channel plan consistently."""
+    sizes = [[0.1, 0.3], [0.4, 0.7]]
+    ratios = [0.8, 1.25]
+    m = MicroSODa(num_classes=2, in_hw=(32, 40), anchor_sizes=sizes,
+                  anchor_ratios=ratios)
+    assert m.anchors_per_pixel == 4  # 2 sizes x 2 ratios
+    assert m.num_box_out == 16 and m.num_class_out == 12
+    # anchors actually reflect the custom table: widest anchor ~ 0.7
+    w = np.asarray(m.anchors[:, 2] - m.anchors[:, 0])
+    assert 0.5 < w.max() < 1.2
+    params, stats = m.init(jax.random.PRNGKey(0))
+    X = jnp.zeros((2, 1, 32, 40, 2))
+    (cls_p, box_p), _, _ = m.forward(params, stats, X)
+    assert cls_p.shape == (1, m.num_anchors, 3)
+    assert box_p.shape == (1, m.num_anchors, 4)
+
+    with pytest.raises(ValueError, match="anchor_sizes"):
+        MicroSODa(num_classes=2, in_hw=(32, 40), anchor_sizes=[0.1, 0.2])
