@@ -45,7 +45,7 @@ def run(root: str, name: str, state_dtype, steps_per_epoch: int,
         limit_val_batches=16, check_val_every_n_epoch=1,
         out_dir=out, log_every_n_steps=20, save_top_k=1, seed=0,
     )
-    trainer.fit(model, dm)
+    trainer.fit(model, dm, ckpt_path="auto")  # supervisor-restartable
     rows = []
     with open(os.path.join(out, "metrics.jsonl")) as f:
         for line in f:
@@ -64,19 +64,22 @@ def run(root: str, name: str, state_dtype, steps_per_epoch: int,
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    only = sys.argv[3] if len(sys.argv) > 3 else None  # f32 | bf16
     root = make_synthetic_dataset(
         "/tmp/state_conv_data", records_per_split=4, duration_ms=4000
     )
+    configs = [("f32", jnp.float32), ("bf16", jnp.bfloat16)]
+    if only:
+        configs = [c for c in configs if c[0] == only]
     results = {}
-    for name, sd in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+    for name, sd in configs:
         results[name] = run(root, name, sd, steps, epochs)
         print(f"[{name}] loss: {results[name]['loss']}", flush=True)
         print(f"[{name}] map50: {results[name]['map50']}", flush=True)
     print(json.dumps({
         "metric": "bf16_state_convergence_headtohead",
         "steps": steps * epochs,
-        "f32": results["f32"],
-        "bf16": results["bf16"],
+        **results,
     }))
 
 

@@ -9,6 +9,11 @@ RTT is reported separately from device time (chained execution).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 
@@ -58,6 +63,23 @@ def main():
     float(dets[..., 1].sum())
     per_frame_e2e = (time.perf_counter() - t0) / CHAIN
 
+    # multi-camera serving: S independent streams share one chip; the
+    # batch axis amortizes weight reads + dispatch (production serving
+    # geometry — each stream keeps its own O(1) state slice)
+    serving = {}
+    for S in (8, 32):
+        stateS = model.init_state(S)
+        framesS = jnp.asarray(
+            np.random.default_rng(1).random((CHAIN, S, H, W, 2)) < 0.1,
+            jnp.uint8,
+        )
+        float(chained(params, stats, framesS, stateS))  # compile
+        t0 = time.perf_counter()
+        float(chained(params, stats, framesS, stateS))
+        dt = (time.perf_counter() - t0) / CHAIN
+        serving[f"streams_{S}_ms_per_frame"] = round(dt * 1e3, 2)
+        serving[f"streams_{S}_realtime_cameras"] = int(S * 0.016 / dt)
+
     print(
         json.dumps(
             {
@@ -66,6 +88,7 @@ def main():
                 "end_to_end_ms": round(per_frame_e2e * 1e3, 2),
                 "unit": "ms/frame (batch 1, incl. NMS decode)",
                 "realtime_budget_ms": 16,
+                **serving,
             }
         )
     )

@@ -7,6 +7,11 @@ Prints one JSON line. Run while the chip is otherwise idle.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 

@@ -230,3 +230,25 @@ def test_early_stopping_counts_checks(synth_root, tmp_path):
     # an untrained model: map stays 0 -> first check sets best, 3 more
     # stagnant checks trigger the stop at epoch 8 (checks at 2,4,6,8)
     assert result["epoch"] == 8
+
+
+def test_resume_across_device_counts(synth_root, tmp_path):
+    """Elastic data-parallel recovery: a checkpoint written while
+    training on an 8-device mesh restores and continues on a 2-device
+    mesh (device-loss scenario: supervise.py relaunches with fewer
+    chips and a smaller batch; params/opt_state are replicated so the
+    topology change is transparent)."""
+    out = str(tmp_path / "elastic")
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+    t1 = Trainer(max_epochs=1, limit_train_batches=2, limit_val_batches=1,
+                 check_val_every_n_epoch=1, out_dir=out, seed=0)
+    r1 = t1.fit(model, make_dm(synth_root, batch_size=8))  # 8-dev mesh
+    assert t1.mesh.devices.size == 8
+    t2 = Trainer(max_epochs=2, limit_train_batches=2, limit_val_batches=1,
+                 check_val_every_n_epoch=5, out_dir=out, seed=0)
+    r2 = t2.fit(model, make_dm(synth_root, batch_size=2), ckpt_path="auto")
+    assert t2.mesh.devices.size == 2
+    assert r2["step"] == r1["step"] + 2
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(r2["params"])[0])
+    ).all()
