@@ -180,3 +180,26 @@ def test_forward_seq_records(setup):
     (st_seq, out_seq) = next(iter(ctx2.records.values()))
     assert out_seq.shape[0] == X.shape[0]  # time-stacked
     assert st_seq.v.shape[0] == X.shape[0]
+
+
+def test_fp8_state_storage_runs_and_correlates(setup):
+    """fp8 (e4m3) neuron-state storage is a supported opt-in
+    (docs/perf.md round-2 ledger: +15% throughput): forward must be
+    finite and strongly correlated with the fp32-state reference —
+    not equal (the membrane quantizes near threshold)."""
+    m, params, stats, X = setup
+    m8 = SeqYolo(num_classes=2, in_hw=(24, 32),
+                 state_dtype=jnp.float8_e4m3fn)
+    # longer sequence so spike activity reaches the analog head
+    X = jnp.concatenate([X, X, X], axis=0)
+    (cls_ref, _), _, _ = m.forward(params, stats, X)
+    (cls_8, _), _, state8 = m8.forward(params, stats, X)
+    assert float(jnp.std(cls_ref)) > 1e-3  # ref must be non-degenerate
+    assert np.isfinite(np.asarray(cls_8)).all()
+    # state really stored in fp8
+    leaves = jax.tree_util.tree_leaves(state8)
+    assert any(l.dtype == jnp.float8_e4m3fn for l in leaves)
+    a = np.asarray(cls_ref, np.float64).ravel()
+    b = np.asarray(cls_8, np.float64).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.9, corr
