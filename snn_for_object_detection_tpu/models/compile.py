@@ -112,14 +112,21 @@ def _masked_state(new, old, keep):
     return jax.tree.map(lambda n, o: jnp.where(keep, n, o), new, old)
 
 
-def _bn_eval_affine(params, stats, x, eps):
-    """Eval-mode BatchNorm as one folded affine: the [C]-vector
-    coefficients are computed in fp32 and applied in the activation
-    dtype (y = x * k + b)."""
+def _bn_eval_coeffs(params, stats, eps):
+    """Eval-mode BatchNorm folded to per-channel (k, b) fp32 vectors:
+    ``y = x * k + b``. Single source of truth for every consumer (the
+    Norm leaf's eval paths and the fused Pallas plan)."""
     k = jax.lax.rsqrt(stats["var"] + eps) * params["scale"]
     b = -stats["mean"] * k
     if "bias" in params:
         b = b + params["bias"]
+    return k, b
+
+
+def _bn_eval_affine(params, stats, x, eps):
+    """Eval-mode BatchNorm as one folded affine applied in the
+    activation dtype."""
+    k, b = _bn_eval_coeffs(params, stats, eps)
     return x * k.astype(x.dtype) + b.astype(x.dtype)
 
 
@@ -717,12 +724,9 @@ def compile_block(
     def _run_fused(layers, li, eps, cell, params_b, stats_b, state_b, X):
         from snn_for_object_detection_tpu.ops import pallas_kernels
 
-        p_norm = params_b[f"l{li + 1}"]
-        s_norm = stats_b[f"l{li + 1}"]
-        a = jax.lax.rsqrt(s_norm["var"] + eps) * p_norm["scale"]
-        b = -s_norm["mean"] * a
-        if "bias" in p_norm:
-            b = b + p_norm["bias"]
+        a, b = _bn_eval_coeffs(
+            params_b[f"l{li + 1}"], stats_b[f"l{li + 1}"], eps
+        )
         st = state_b[f"l{li + 2}"]
         z, v_t, i_t = pallas_kernels.spiking_conv_seq(
             X, params_b[f"l{li}"]["w"].astype(X.dtype), a, b,

@@ -246,46 +246,37 @@ class SODa:
         """One time step: frame [B, H, W, C] -> (cls_preds [B, A, C+1],
         bbox_preds [B, A, 4]), new stats, new state, records."""
         ctx = C.Ctx(train=train, record=record)
-        x = x.astype(self.compute_dtype)
-        new_stats: Dict[str, Any] = {}
-        new_state: Dict[str, Any] = {}
-
-        y, new_stats["backbone"], new_state["backbone"] = self.backbone.apply(
-            params["backbone"], stats["backbone"], state["backbone"], x, ctx
+        base_outs, new_stats, new_state = self._trunk(
+            params, stats, state, x, ctx
         )
-        _, new_stats["neck"], new_state["neck"] = self.neck.apply(
-            params["neck"], stats["neck"], state["neck"], y, ctx
-        )
-        pyramid = ctx.taps
-        if len(pyramid) != len(self.heads):
-            raise RuntimeError("neck produced wrong number of pyramid taps")
-
-        cls_list, box_list = [], []
-        for idx, (head, fmap) in enumerate(zip(self.heads, pyramid)):
-            hp = params[f"head{idx}"]
-            hs = stats[f"head{idx}"]
-            hst = state[f"head{idx}"]
-            ns: Dict[str, Any] = {}
-            nst: Dict[str, Any] = {}
-            base_out, ns["base"], nst["base"] = head["base"].apply(
-                hp["base"], hs["base"], hst["base"], fmap, ctx
+        if self._head_tails_light:
+            # stateless, stat-free tails: _trunk's pass-through
+            # stats/state are already correct
+            cls_preds, bbox_preds = self._tail_readout(
+                params, stats, state, base_outs, ctx
             )
-            box_out, ns["box"], nst["box"] = head["box"].apply(
-                hp["box"], hs["box"], hst["box"], base_out, ctx
-            )
-            cls_out, ns["cls"], nst["cls"] = head["cls"].apply(
-                hp["cls"], hs["cls"], hst["cls"], base_out, ctx
-            )
-            new_stats[f"head{idx}"] = ns
-            new_state[f"head{idx}"] = nst
-            b = box_out.shape[0]
-            # NHWC is already (pixel-major, channel-minor): flattening
-            # matches the reference's permute+flatten (generator.py:451-457).
-            box_list.append(box_out.reshape(b, -1, 4))
-            cls_list.append(cls_out.reshape(b, -1, self.num_classes + 1))
-
-        cls_preds = jnp.concatenate(cls_list, axis=1)
-        bbox_preds = jnp.concatenate(box_list, axis=1)
+        else:
+            cls_list, box_list = [], []
+            for idx, base_out in enumerate(base_outs):
+                hp = params[f"head{idx}"]
+                hs = stats[f"head{idx}"]
+                hst = state[f"head{idx}"]
+                head = self.heads[idx]
+                box_out, ns_box, nst_box = head["box"].apply(
+                    hp["box"], hs["box"], hst["box"], base_out, ctx
+                )
+                cls_out, ns_cls, nst_cls = head["cls"].apply(
+                    hp["cls"], hs["cls"], hst["cls"], base_out, ctx
+                )
+                new_stats[f"head{idx}"]["box"] = ns_box
+                new_stats[f"head{idx}"]["cls"] = ns_cls
+                new_state[f"head{idx}"]["box"] = nst_box
+                new_state[f"head{idx}"]["cls"] = nst_cls
+                b = box_out.shape[0]
+                box_list.append(box_out.reshape(b, -1, 4))
+                cls_list.append(cls_out.reshape(b, -1, self.num_classes + 1))
+            cls_preds = jnp.concatenate(cls_list, axis=1)
+            bbox_preds = jnp.concatenate(box_list, axis=1)
         return (cls_preds, bbox_preds), new_stats, new_state, ctx.records
 
     # ----- deferred head readout (scan fast path) -----

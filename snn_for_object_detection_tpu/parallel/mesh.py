@@ -77,8 +77,11 @@ def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
     synchronous per-batch placement.
 
     Worker exceptions re-raise at the consumer's ``next()``. The
-    generator's ``close()`` stops the worker promptly (it also closes
-    the wrapped iterator so loader threads exit).
+    generator's ``close()`` stops the worker after its in-flight batch:
+    the worker thread OWNS the wrapped iterator and closes it itself on
+    exit (closing a generator from another thread while it is executing
+    ``next()`` raises "generator already executing", so the consumer
+    never touches it directly).
     """
     if size <= 0:
         for features, labels in iterator:
@@ -102,6 +105,13 @@ def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
             q.put(("end", None))
         except BaseException as e:  # re-raised by the consumer
             q.put(("err", e))
+        finally:
+            close = getattr(iterator, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
 
     t = threading.Thread(target=worker, daemon=True,
                          name="device-prefetch")
@@ -117,14 +127,10 @@ def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
                 raise payload
     finally:
         stop.set()
-        close = getattr(iterator, "close", None)
-        if close is not None:
-            try:
-                close()
-            except Exception:
-                pass
-        # unblock the worker if it is parked on a full queue
+        # unblock the worker if it is parked on a full queue, then let
+        # it finish its in-flight batch and close the source iterator
         try:
             q.get_nowait()
         except Exception:
             pass
+        t.join(timeout=30.0)

@@ -154,13 +154,12 @@ class CheckpointManager:
         """Restore a checkpoint pytree. ``path=None`` -> 'last'.
 
         A dict ``target`` is reconciled with the keys the checkpoint
-        really contains: target keys the checkpoint lacks are dropped
-        (older checkpoints predate some keys, e.g. the early-stopping
-        state), and stored keys the target omits come back as None
-        without reading their data (weights-only loads skip the
-        opt_state bytes). Callers read optional keys with
-        ``restored.get(...)``; a genuinely corrupt checkpoint surfaces
-        its real Orbax error."""
+        really contains: target keys the checkpoint lacks — and keys
+        the caller sets to None — are dropped and come back ABSENT
+        from the result, without reading their data (weights-only
+        loads skip the opt_state bytes). Callers read optional keys
+        with ``restored.get(...)`` / ``in``; a genuinely corrupt
+        checkpoint surfaces its real Orbax error."""
         if path is None:
             path = os.path.join(self.directory, "last")
         path = os.path.abspath(path)

@@ -321,14 +321,22 @@ class Trainer:
                 "checks_since_best": 0,
             }
             # restore() trims the target to the keys actually stored
-            # (pre-early-stopping checkpoints lack the callback keys);
+            # (pre-early-stopping checkpoints lack the callback keys;
+            # weights-only exports lack the trainer state entirely);
             # a corrupt checkpoint surfaces its real Orbax error
             restored = self.ckpt.restore(ckpt_path, target=target)
             params = restored["params"]
             stats = restored["stats"]
-            opt_state = restored["opt_state"]
-            step = int(restored["step"])
-            epoch = int(restored["epoch"])
+            if "opt_state" in restored:
+                opt_state = restored["opt_state"]
+            else:
+                print(
+                    f"[trainer] {ckpt_path} has no optimizer state "
+                    "(weights-only checkpoint); optimizer starts fresh",
+                    flush=True,
+                )
+            step = int(restored.get("step", 0))
+            epoch = int(restored.get("epoch", 0))
             # early-stopping callback state survives restarts (Lightning
             # checkpoints restore it too)
             best_metric = float(restored.get("best_metric", -np.inf))
@@ -341,94 +349,98 @@ class Trainer:
             data.train_loader(), self.mesh, self.prefetch_batches
         )
         val_iter_factory = data.val_loader
+        try:
 
-        # Profiling hook (SURVEY.md §5.1): capture a TensorBoard/Perfetto
-        # trace of a few post-compile steps when profile_dir is set.
-        profile_at = 3 if self.profile_dir else -1
-        profiling = False
+            # Profiling hook (SURVEY.md §5.1): capture a TensorBoard/Perfetto
+            # trace of a few post-compile steps when profile_dir is set.
+            profile_at = 3 if self.profile_dir else -1
+            profiling = False
 
-        t_epoch = time.time()
-        while self.max_epochs < 0 or epoch < self.max_epochs:
-            # ---- one train epoch ----
-            losses = []
-            for _ in range(self.limit_train_batches):
-                Xd, labd = next(train_iter)
-                key, sub = jax.random.split(key)
-                if step == profile_at and not profiling:
-                    jax.profiler.start_trace(self.profile_dir)
-                    profiling = True
-                params, opt_state, stats, loss = jit_train(
-                    params, opt_state, stats, Xd, labd, sub
-                )
-                if profiling and step >= profile_at + 2:
-                    jax.block_until_ready(loss)
-                    jax.profiler.stop_trace()
-                    profiling = False
-                    print(f"[trainer] profile written to {self.profile_dir}",
-                          flush=True)
-                step += 1
-                losses.append(loss)
-                if step % self.log_every_n_steps == 0:
-                    self.logger.log(
-                        step, {"train_loss": float(jnp.mean(jnp.stack(losses[-self.log_every_n_steps:])))}
-                    )
-            epoch += 1
-            self.logger.log(
-                step,
-                {
-                    "epoch": epoch,
-                    "epoch_train_loss": float(jnp.mean(jnp.stack(losses))),
-                    "epoch_time_s": time.time() - t_epoch,
-                },
-            )
             t_epoch = time.time()
-
-            # ---- periodic validation + checkpointing + early stop ----
-            if epoch % self.check_val_every_n_epoch == 0:
-                key, sub = jax.random.split(key)
-                metrics = self._run_eval(
-                    model, jit_eval, params, stats,
-                    val_iter_factory(), self.limit_val_batches, sub, "val",
-                )
-                self.logger.log(step, metrics)
-                metric = metrics.get(self.monitor, 0.0)
-                # multi-host: save() is a collective — every process
-                # calls it; only process 0 touches the filesystem index
-                self.ckpt.save(
+            while self.max_epochs < 0 or epoch < self.max_epochs:
+                # ---- one train epoch ----
+                losses = []
+                for _ in range(self.limit_train_batches):
+                    Xd, labd = next(train_iter)
+                    key, sub = jax.random.split(key)
+                    if step == profile_at and not profiling:
+                        jax.profiler.start_trace(self.profile_dir)
+                        profiling = True
+                    params, opt_state, stats, loss = jit_train(
+                        params, opt_state, stats, Xd, labd, sub
+                    )
+                    if profiling and step >= profile_at + 2:
+                        jax.block_until_ready(loss)
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        print(f"[trainer] profile written to {self.profile_dir}",
+                              flush=True)
+                    step += 1
+                    losses.append(loss)
+                    if step % self.log_every_n_steps == 0:
+                        self.logger.log(
+                            step, {"train_loss": float(jnp.mean(jnp.stack(losses[-self.log_every_n_steps:])))}
+                        )
+                epoch += 1
+                self.logger.log(
                     step,
                     {
-                        "params": params,
-                        "stats": stats,
-                        "opt_state": opt_state,
-                        "step": step,
                         "epoch": epoch,
-                        "best_metric": best_metric,
-                        "checks_since_best": checks_since_best,
+                        "epoch_train_loss": float(jnp.mean(jnp.stack(losses))),
+                        "epoch_time_s": time.time() - t_epoch,
                     },
-                    metric=metric,
-                    meta={"metrics": metrics, "epoch": epoch},
                 )
-                # Patience counts VALIDATION CHECKS, matching Lightning's
-                # EarlyStopping semantics (patience=30 = 30 stagnant
-                # checks, not 30 epochs; config.yaml:40-44).
-                if metric > best_metric:
-                    best_metric = metric
-                    checks_since_best = 0
-                else:
-                    checks_since_best += 1
-                if (
-                    epoch >= self.min_epochs
-                    and self.early_stopping_patience > 0
-                    and checks_since_best >= self.early_stopping_patience
-                ):
-                    print(
-                        f"early stopping at epoch {epoch} "
-                        f"(best {self.monitor}={best_metric:.4f})",
-                        flush=True,
-                    )
-                    break
+                t_epoch = time.time()
 
-        train_iter.close()  # stop prefetch + loader worker threads now
+                # ---- periodic validation + checkpointing + early stop ----
+                if epoch % self.check_val_every_n_epoch == 0:
+                    key, sub = jax.random.split(key)
+                    metrics = self._run_eval(
+                        model, jit_eval, params, stats,
+                        val_iter_factory(), self.limit_val_batches, sub, "val",
+                    )
+                    self.logger.log(step, metrics)
+                    metric = metrics.get(self.monitor, 0.0)
+                    # multi-host: save() is a collective — every process
+                    # calls it; only process 0 touches the filesystem index
+                    self.ckpt.save(
+                        step,
+                        {
+                            "params": params,
+                            "stats": stats,
+                            "opt_state": opt_state,
+                            "step": step,
+                            "epoch": epoch,
+                            "best_metric": best_metric,
+                            "checks_since_best": checks_since_best,
+                        },
+                        metric=metric,
+                        meta={"metrics": metrics, "epoch": epoch},
+                    )
+                    # Patience counts VALIDATION CHECKS, matching Lightning's
+                    # EarlyStopping semantics (patience=30 = 30 stagnant
+                    # checks, not 30 epochs; config.yaml:40-44).
+                    if metric > best_metric:
+                        best_metric = metric
+                        checks_since_best = 0
+                    else:
+                        checks_since_best += 1
+                    if (
+                        epoch >= self.min_epochs
+                        and self.early_stopping_patience > 0
+                        and checks_since_best >= self.early_stopping_patience
+                    ):
+                        print(
+                            f"early stopping at epoch {epoch} "
+                            f"(best {self.monitor}={best_metric:.4f})",
+                            flush=True,
+                        )
+                        break
+
+        finally:
+            # stop prefetch + loader worker threads even when the
+            # epoch loop raises (loader error, NaN abort, Ctrl-C)
+            train_iter.close()
         self.logger.close()
         dist.barrier("fit_end")
         return {

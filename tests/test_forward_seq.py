@@ -120,17 +120,25 @@ def test_forward_seq_jit_and_grad(setup):
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
-def test_forward_seq_fused_matches_unfused(setup):
+def test_forward_seq_fused_matches_unfused(setup, monkeypatch):
     """fuse_seq=True routes eligible [Conv3x3 s1 -> Norm -> LIF/LI]
     triples through the fused temporal Pallas kernel; outputs and final
     state must match the unfused seq path (fp32: exact up to matmul
     accumulation order)."""
     m, params, stats, X = setup
     mf = SeqYolo(num_classes=2, in_hw=(24, 32), fuse_seq=True)
-    # eligibility sanity: the backbone Residual branch fuses
-    import snn_for_object_detection_tpu.models.compile as C  # noqa: F401
+    # guard against silent plan regressions: the kernel must really run
+    import snn_for_object_detection_tpu.ops.pallas_kernels as pk
+
+    calls = []
+    orig = pk.spiking_conv_seq
+    monkeypatch.setattr(
+        pk, "spiking_conv_seq",
+        lambda *a, **k: calls.append(1) or orig(*a, **k),
+    )
     preds_a, stats_a, state_a = m.forward_seq(params, stats, X)
     preds_b, stats_b, state_b = mf.forward_seq(params, stats, X)
+    assert calls, "fused plan was empty — spiking_conv_seq never ran"
     _assert_tree_close(preds_a, preds_b, rtol=1e-4, atol=1e-5)
     _assert_tree_close(state_a, state_b, rtol=1e-4, atol=1e-5)
     _assert_tree_close(stats_a, stats_b, rtol=1e-5, atol=1e-6)

@@ -68,6 +68,8 @@ def test_prefetch_close_stops_infinite_source():
     it = prefetch_to_device(infinite(), mesh, size=2)
     next(it)
     it.close()
-    # worker told to stop; wrapped generator close was attempted (it
-    # may be mid-next() in the worker thread, in which case the daemon
-    # thread exits with the process)
+    # close() joins the worker, which owns and closes the source
+    # generator on its way out — the finally above must have run
+    assert closed == [True]
+    with pytest.raises(StopIteration):
+        next(it)
