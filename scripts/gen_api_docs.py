@@ -38,9 +38,11 @@ MODULES = [
     "snn_for_object_detection_tpu.data.psee",
     "snn_for_object_detection_tpu.data.rasterize",
     "snn_for_object_detection_tpu.data.synthetic",
+    "snn_for_object_detection_tpu.data.augment",
     "snn_for_object_detection_tpu.train.loop",
     "snn_for_object_detection_tpu.train.metrics",
     "snn_for_object_detection_tpu.train.checkpoint",
+    "snn_for_object_detection_tpu.train.loggers",
     "snn_for_object_detection_tpu.parallel.mesh",
     "snn_for_object_detection_tpu.parallel.distributed",
     "snn_for_object_detection_tpu.utils.config",

@@ -320,6 +320,7 @@ class PropheseeDataModule:
         host_id: int = 0,
         num_hosts: int = 1,
         frame_dtype: str = "uint8",
+        augment=None,
     ):
         if dataset not in DATASET_GEOMETRY:
             raise ValueError(f'The dataset parameter cannot be "{dataset}"!')
@@ -344,6 +345,12 @@ class PropheseeDataModule:
         # 1Mpx rasterization) and 4x less host->device transfer; the
         # jitted step casts to the compute dtype on device.
         self.frame_dtype = frame_dtype
+        # Train-split augmentation policy (ST samples only): None/False
+        # off, True -> hflip 0.5, or a dict of Augmenter fields
+        # (data/augment.py). Beyond-reference.
+        from snn_for_object_detection_tpu.data.augment import make_augmenter
+
+        self.augment = make_augmenter(augment)
         self.height, self.width, self.time_field, self._labels = (
             DATASET_GEOMETRY[dataset]
         )
@@ -401,9 +408,20 @@ class PropheseeDataModule:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size)
         stop = threading.Event()
 
+        aug = (
+            self.augment
+            if split == "train" and self.one_label and self.augment
+            else None
+        )
+
         def worker(shard_id: int):
             stream = self._make_stream(split, shard_id, n_workers)
+            aug_rng = np.random.default_rng(
+                self.seed + 7919 * (self.host_id * n_workers + shard_id)
+            )
             for sample in stream:
+                if aug is not None:
+                    sample = aug(sample[0], sample[1], aug_rng)
                 if stop.is_set():
                     return
                 while not stop.is_set():
