@@ -107,6 +107,8 @@ class Trainer:
         fast_dev_run: bool = False,
         limit_predict_batches: int = 1,
         prefetch_batches: int = 2,
+        optimizer: Any = "adamax",
+        lr_schedule: Optional[Dict[str, Any]] = None,
         logger: Any = None,
     ):
         if fast_dev_run:
@@ -138,6 +140,13 @@ class Trainer:
         # device-resident batches kept ahead of the train step
         # (background host->device transfer; 0 = synchronous)
         self.prefetch_batches = prefetch_batches
+        # Optimizer surface (beyond the reference's fixed Adamax,
+        # soda.py:135-136): any optax factory by name ("adamax",
+        # "adamw", "sgd", ...) or {"name": ..., **kwargs}; optional LR
+        # schedule {"name": "warmup_cosine"|"cosine"|"exponential",
+        # ...} with the model's learning_rate as the peak value.
+        self.optimizer = optimizer
+        self.lr_schedule = lr_schedule
         # Tracker backends (the trainer.logger config surface, reference
         # main.py:13-16): a class_path/init_args dict, a list of them,
         # or pre-built objects with log_metrics/close.
@@ -215,17 +224,60 @@ class Trainer:
     # jitted steps
     # ------------------------------------------------------------------
 
+    def _make_learning_rate(self, model):
+        """Constant LR, or an optax schedule peaking at the model's
+        learning_rate (step = optimizer update count)."""
+        if not self.lr_schedule:
+            return model.learning_rate
+        cfg = dict(self.lr_schedule)
+        kind = cfg.pop("name", "warmup_cosine")
+        lr = model.learning_rate
+        if kind == "warmup_cosine":
+            return optax.warmup_cosine_decay_schedule(
+                init_value=cfg.pop("init_value", 0.0),
+                peak_value=lr,
+                warmup_steps=cfg.pop("warmup_steps", 0),
+                decay_steps=cfg.pop("decay_steps"),
+                end_value=cfg.pop("end_value", 0.0),
+                **cfg,
+            )
+        if kind == "cosine":
+            return optax.cosine_decay_schedule(lr, **cfg)
+        if kind == "exponential":
+            return optax.exponential_decay(lr, **cfg)
+        raise ValueError(
+            f"unknown lr_schedule name {kind!r} "
+            "(warmup_cosine | cosine | exponential)"
+        )
+
+    def _make_optimizer(self, model):
+        lr = self._make_learning_rate(model)
+        if isinstance(self.optimizer, str):
+            name, kwargs = self.optimizer, {}
+        else:
+            cfg = dict(self.optimizer)
+            name = cfg.pop("name")
+            kwargs = cfg
+        factory = getattr(optax, name, None)
+        if factory is None or not callable(factory):
+            raise ValueError(
+                f"unknown optimizer {name!r} (any optax factory name, "
+                "e.g. adamax/adam/adamw/sgd/lion)"
+            )
+        return factory(lr, **kwargs)
+
     def _build_steps(self, model):
-        # Adamax (soda.py:135-136), optionally behind global-norm
-        # gradient clipping (the Lightning gradient_clip_* analogue;
-        # long-BPTT SNN training can blow up without it).
+        # Adamax default (soda.py:135-136) — configurable via the
+        # ``optimizer``/``lr_schedule`` trainer options — optionally
+        # behind global-norm gradient clipping (the Lightning
+        # gradient_clip_* analogue; long-BPTT SNN training can blow up
+        # without it).
+        optimizer = self._make_optimizer(model)
         if self.gradient_clip_norm:
             optimizer = optax.chain(
                 optax.clip_by_global_norm(self.gradient_clip_norm),
-                optax.adamax(model.learning_rate),
+                optimizer,
             )
-        else:
-            optimizer = optax.adamax(model.learning_rate)
         if self.accumulate_grad_batches > 1:
             # gradient accumulation (config.yaml:68): params update every
             # N micro-batches, gradients averaged by MultiSteps

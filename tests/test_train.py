@@ -252,3 +252,29 @@ def test_resume_across_device_counts(synth_root, tmp_path):
     assert np.isfinite(
         np.asarray(jax.tree_util.tree_leaves(r2["params"])[0])
     ).all()
+
+
+def test_optimizer_and_lr_schedule_options(synth_root, tmp_path):
+    """Trainer optimizer/lr_schedule config surface (beyond the
+    reference's fixed Adamax): named optax factories and warmup-cosine
+    schedules train; bad names raise clearly."""
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+    dm = make_dm(synth_root)
+    trainer = Trainer(
+        max_epochs=1, limit_train_batches=2, check_val_every_n_epoch=100,
+        out_dir=str(tmp_path / "opt"), seed=0,
+        optimizer={"name": "adamw", "weight_decay": 1e-4},
+        lr_schedule={"name": "warmup_cosine", "warmup_steps": 1,
+                     "decay_steps": 10},
+    )
+    result = trainer.fit(model, dm)
+    assert result["step"] == 2
+    leaves = jax.tree_util.tree_leaves(result["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        Trainer(out_dir=str(tmp_path / "bad"), optimizer="not_an_opt",
+                )._make_optimizer(model)
+    with pytest.raises(ValueError, match="unknown lr_schedule"):
+        Trainer(out_dir=str(tmp_path / "bad2"),
+                lr_schedule={"name": "bogus"})._make_learning_rate(model)
