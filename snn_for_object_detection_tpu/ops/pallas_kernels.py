@@ -335,61 +335,65 @@ def xla_pointwise_conv_bn_lif(x, w, a, b, v, i):
 # HBM traffic = read x_seq once + write z_seq once (+ states once);
 # the conv/BN intermediates and the (v, i) time loop never leave VMEM.
 
-def _spiking_conv_kernel(cell, rh, w_width, cin):
+def _spiking_conv_kernel(cell, nb, rh, w_width, cin):
     def kernel(x_ref, w_ref, a_ref, b_ref, v0_ref, i0_ref,
                z_ref, vT_ref, iT_ref, col_s, v_s, i_s):
         t = pl.program_id(2)
 
         @pl.when(t == 0)
         def _():
-            v_s[:] = v0_ref[0]
-            i_s[:] = i0_ref[0]
+            v_s[:] = v0_ref[:]
+            i_s[:] = i0_ref[:]
 
-        x_s = x_ref[0, 0, 0]      # (rh+2, W+2, Cin) halo slab
+        x_s = x_ref[0, :, 0]      # (nb, rh+2, W+2, Cin) halo slabs
         w_mat = w_ref[:]          # (9*Cin, Cout)
         a = a_ref[:]
         b = b_ref[:]
-        for h in range(rh):
-            # im2col row: 9 shifted (W, Cin) windows, lane-concat
-            # im2col through VMEM scratch: register-level lane-concat of
-            # nine offset slices trips Mosaic's layout inference, so the
-            # windows are staged via stores (VMEM-local, never HBM)
-            for dy in range(3):
-                row = x_s[h + dy]             # (W+2, Cin)
-                for dx in range(3):
-                    k = dy * 3 + dx
-                    col_s[:, k * cin:(k + 1) * cin] = row[dx:dx + w_width, :]
-            lhs = col_s[:]                    # (W, 9*Cin)
-            y = jnp.dot(lhs, w_mat,
-                        preferred_element_type=jnp.float32)
-            # conv rounds to the compute dtype, then the eval-mode
-            # BN affine runs in that dtype (matches the XLA path:
-            # compile._bn_eval_affine)
-            y = y.astype(z_ref.dtype).astype(jnp.float32)
-            y = y * a + b
-            y = y.astype(z_ref.dtype).astype(jnp.float32)
-            v = v_s[h].astype(jnp.float32)
-            i = i_s[h].astype(jnp.float32)
-            if cell == "lif":
-                v_dec = v + _DT * _TAU_MEM_INV * ((_V_LEAK - v) + i)
-                i_dec = i - _DT * _TAU_SYN_INV * i
-                spike = v_dec - _V_TH > 0
-                v = jnp.where(spike, 0.0, v_dec)
-                i = i_dec + y
-                out = spike
-            else:  # "li"
-                i_jump = i + y
-                v = v + _DT * _TAU_MEM_INV * ((_V_LEAK - v) + i_jump)
-                i = i_jump - _DT * _TAU_SYN_INV * i_jump
-                out = v
-            v_s[h] = v.astype(v_s.dtype)
-            i_s[h] = i.astype(i_s.dtype)
-            z_ref[0, 0, h] = out.astype(z_ref.dtype)
+        # Block-level im2col: 9 strided stores stage every shifted
+        # (nb, rh, W, Cin) window into one (nb, rh, W, 9*Cin) scratch
+        # (register-level lane-concat of offset slices trips Mosaic's
+        # layout inference, so the windows go through VMEM — never
+        # HBM), then the whole nb-image block is ONE
+        # (nb*rh*W, 9Cin) x (9Cin, Cout) MXU matmul and the cell update
+        # is a single block-wide VPU pass. nb amortizes the
+        # microsecond-scale grid-step overhead.
+        for dy in range(3):
+            for dx in range(3):
+                k = dy * 3 + dx
+                col_s[:, :, :, k * cin:(k + 1) * cin] = (
+                    x_s[:, dy:dy + rh, dx:dx + w_width, :]
+                )
+        lhs = col_s[:].reshape(nb * rh * w_width, 9 * cin)
+        y = jnp.dot(lhs, w_mat, preferred_element_type=jnp.float32)
+        y = y.reshape(nb, rh, w_width, -1)
+        # conv rounds to the compute dtype, then the eval-mode BN
+        # affine runs in that dtype (matches the XLA path:
+        # compile._bn_eval_affine)
+        y = y.astype(z_ref.dtype).astype(jnp.float32)
+        y = y * a + b
+        y = y.astype(z_ref.dtype).astype(jnp.float32)
+        v = v_s[:].astype(jnp.float32)
+        i = i_s[:].astype(jnp.float32)
+        if cell == "lif":
+            v_dec = v + _DT * _TAU_MEM_INV * ((_V_LEAK - v) + i)
+            i_dec = i - _DT * _TAU_SYN_INV * i
+            spike = v_dec - _V_TH > 0
+            v = jnp.where(spike, 0.0, v_dec)
+            i = i_dec + y
+            out = spike
+        else:  # "li"
+            i_jump = i + y
+            v = v + _DT * _TAU_MEM_INV * ((_V_LEAK - v) + i_jump)
+            i = i_jump - _DT * _TAU_SYN_INV * i_jump
+            out = v
+        v_s[:] = v.astype(v_s.dtype)
+        i_s[:] = i.astype(i_s.dtype)
+        z_ref[0] = out.astype(z_ref.dtype)
 
         @pl.when(t == pl.num_programs(2) - 1)
         def _():
-            vT_ref[0] = v_s[:]
-            iT_ref[0] = i_s[:]
+            vT_ref[:] = v_s[:]
+            iT_ref[:] = i_s[:]
 
     return kernel
 
@@ -412,6 +416,16 @@ def _spiking_conv_seq_impl(x_seq, w, a, b, v0, i0, cell, interpret):
             rh = cand
             break
     hb = H // rh
+    # Batch images into each grid step until the block covers ~4k
+    # matmul rows: TPU grid steps carry microsecond-scale sequencing/
+    # DMA overhead, so small per-step blocks are overhead-bound.
+    nb = 1
+    for cand in (16, 8, 4, 2):
+        if N % cand == 0 and cand * rh * W >= 2048 and (
+            cand * rh * W * 9 * cin * 2 <= 24 * 2**20
+        ):
+            nb = cand
+            break
     # Pre-gather the +-1-row halo slabs: [T, N, HB, rh+2, W+2, Cin].
     # Costs one extra ~1.25x pass over x in HBM but lets every operand
     # use a plain blocked spec — Pallas double-buffers the DMAs itself
@@ -419,26 +433,26 @@ def _spiking_conv_seq_impl(x_seq, w, a, b, v0, i0, cell, interpret):
     slabs = jnp.stack(
         [xp[:, :, i * rh : i * rh + rh + 2] for i in range(hb)], axis=2
     )
-    grid = (N, hb, T)
+    grid = (N // nb, hb, T)
 
     state_spec = pl.BlockSpec(
-        (1, rh, W, cout), lambda n, hb, t: (n, hb, 0, 0),
+        (nb, rh, W, cout), lambda n, hb, t: (n, hb, 0, 0),
         memory_space=pltpu.VMEM,
     )
     z_spec = pl.BlockSpec(
-        (1, 1, rh, W, cout), lambda n, hb, t: (t, n, hb, 0, 0),
+        (1, nb, rh, W, cout), lambda n, hb, t: (t, n, hb, 0, 0),
         memory_space=pltpu.VMEM,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda n, hb, t: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     x_spec = pl.BlockSpec(
-        (1, 1, 1, rh + 2, W + 2, cin), lambda n, hb, t: (t, n, hb, 0, 0, 0),
+        (1, nb, 1, rh + 2, W + 2, cin), lambda n, hb, t: (t, n, hb, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     z, vT, iT = pl.pallas_call(
-        _spiking_conv_kernel(cell, rh, W, cin),
+        _spiking_conv_kernel(cell, nb, rh, W, cin),
         grid=grid,
         in_specs=[x_spec, full((9 * cin, cout)), full((cout,)),
                   full((cout,)), state_spec, state_spec],
@@ -449,9 +463,9 @@ def _spiking_conv_seq_impl(x_seq, w, a, b, v0, i0, cell, interpret):
             jax.ShapeDtypeStruct((N, H, W, cout), i0.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W, 9 * cin), x_seq.dtype),
-            pltpu.VMEM((rh, W, cout), v0.dtype),
-            pltpu.VMEM((rh, W, cout), i0.dtype),
+            pltpu.VMEM((nb, rh, W, 9 * cin), x_seq.dtype),
+            pltpu.VMEM((nb, rh, W, cout), v0.dtype),
+            pltpu.VMEM((nb, rh, W, cout), i0.dtype),
         ],
         interpret=interpret,
     )(slabs, w_mat, a, b, v0, i0)
