@@ -419,13 +419,14 @@ def _spiking_conv_seq_impl(x_seq, w, a, b, v0, i0, cell, interpret):
     # Batch images into each grid step until the block covers ~4k
     # matmul rows: TPU grid steps carry microsecond-scale sequencing/
     # DMA overhead, so small per-step blocks are overhead-bound.
+    # nb > 1 would amortize the microsecond-scale grid-step overhead
+    # over several images, but Mosaic materializes the im2col reshape
+    # and the fp32 matmul/cell temporaries on the 16 MiB scoped-VMEM
+    # stack — measured 24-42 MiB at nb=8-16 on stage-1 shapes, a
+    # compile-time OOM. Until the kernel is restructured to stream the
+    # matmul from the scratch without the flattening copy, one image
+    # per grid step is the working configuration.
     nb = 1
-    for cand in (16, 8, 4, 2):
-        if N % cand == 0 and cand * rh * W >= 2048 and (
-            cand * rh * W * 9 * cin * 2 <= 24 * 2**20
-        ):
-            nb = cand
-            break
     # Pre-gather the +-1-row halo slabs: [T, N, HB, rh+2, W+2, Cin].
     # Costs one extra ~1.25x pass over x in HBM but lets every operand
     # use a plain blocked spec — Pallas double-buffers the DMAs itself
