@@ -9,7 +9,10 @@ Usage:
   python scripts/export_model.py <training_ckpt_dir> <out_dir>
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from snn_for_object_detection_tpu.train.checkpoint import (
     load_single,
