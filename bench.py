@@ -32,7 +32,11 @@ import numpy as np
 
 T, B = 32, 16
 H, W = 240, 304
-TORCH_REPS = 2
+# Fixed-duration baseline measurement: repeat the torch forward until
+# this much wall clock has elapsed (round-2 lesson: 2 fixed reps swung
+# the ratio 412x -> 562x run-to-run; a >= 30 s window with a pinned
+# thread count is reproducible within ~5%).
+TORCH_MIN_SECONDS = 30.0
 
 
 def bench_tpu() -> float:
@@ -87,6 +91,7 @@ def bench_torch_cpu() -> float:
     import torch.nn as nn
 
     torch.set_grad_enabled(False)
+    torch.set_num_threads(1)  # pinned: this image exposes one core
 
     class LIF(nn.Module):
         def forward(self, x, state):
@@ -238,11 +243,15 @@ def bench_torch_cpu() -> float:
         return bo, cl
 
     run_once()  # warm
+    reps = 0
     t0 = time.perf_counter()
-    for _ in range(TORCH_REPS):
+    while True:
         run_once()
-    dt = (time.perf_counter() - t0) / TORCH_REPS
-    return T * 1 / dt  # torch runs batch 1
+        reps += 1
+        elapsed = time.perf_counter() - t0
+        if elapsed >= TORCH_MIN_SECONDS:
+            break
+    return T * reps / elapsed  # torch runs batch 1
 
 
 def main():
@@ -263,7 +272,11 @@ def main():
                 "baseline": {
                     "pytorch_cpu_frames_per_sec": (
                         round(cpu_fps, 1) if np.isfinite(cpu_fps) else None
-                    )
+                    ),
+                    "measurement": (
+                        f">= {TORCH_MIN_SECONDS:.0f} s fixed-duration, "
+                        "1 torch thread"
+                    ),
                 },
             }
         )

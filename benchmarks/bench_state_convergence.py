@@ -29,7 +29,7 @@ from snn_for_object_detection_tpu.train import Trainer
 
 
 def run(root: str, name: str, state_dtype, steps_per_epoch: int,
-        epochs: int) -> dict:
+        epochs: int, seed: int = 0, val_every: int = 1) -> dict:
     model = TinyYolo(
         num_classes=2, in_hw=(240, 304), time_window=16,
         state_dtype=state_dtype,
@@ -37,13 +37,13 @@ def run(root: str, name: str, state_dtype, steps_per_epoch: int,
     dm = PropheseeDataModule(
         data_dir=root, dataset="gen1", batch_size=4, num_workers=2,
         num_load_file=2, num_steps=32, time_step=16, time_shift=4,
-        max_labels=16, seed=0,
+        max_labels=16, seed=seed,
     )
-    out = f"/tmp/state_conv_{name}"
+    out = f"/tmp/state_conv_{name}_s{seed}"
     trainer = Trainer(
         max_epochs=epochs, limit_train_batches=steps_per_epoch,
-        limit_val_batches=16, check_val_every_n_epoch=1,
-        out_dir=out, log_every_n_steps=20, save_top_k=1, seed=0,
+        limit_val_batches=16, check_val_every_n_epoch=val_every,
+        out_dir=out, log_every_n_steps=20, save_top_k=1, seed=seed,
     )
     trainer.fit(model, dm, ckpt_path="auto")  # supervisor-restartable
     rows = []
@@ -65,6 +65,11 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     only = sys.argv[3] if len(sys.argv) > 3 else None  # f32 | bf16
+    seeds = (
+        [int(s) for s in sys.argv[4].split(",")]
+        if len(sys.argv) > 4 else [0]
+    )
+    val_every = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     root = make_synthetic_dataset(
         "/tmp/state_conv_data", records_per_split=4, duration_ms=4000
     )
@@ -72,13 +77,17 @@ def main():
     if only:
         configs = [c for c in configs if c[0] == only]
     results = {}
-    for name, sd in configs:
-        results[name] = run(root, name, sd, steps, epochs)
-        print(f"[{name}] loss: {results[name]['loss']}", flush=True)
-        print(f"[{name}] map50: {results[name]['map50']}", flush=True)
+    for seed in seeds:
+        for name, sd in configs:
+            key = f"{name}_s{seed}"
+            results[key] = run(root, name, sd, steps, epochs,
+                               seed=seed, val_every=val_every)
+            print(f"[{key}] loss: {results[key]['loss']}", flush=True)
+            print(f"[{key}] map50: {results[key]['map50']}", flush=True)
     print(json.dumps({
         "metric": "bf16_state_convergence_headtohead",
         "steps": steps * epochs,
+        "seeds": seeds,
         **results,
     }))
 

@@ -54,7 +54,9 @@ class Augmenter:
         if self.polarity_swap > 0 and rng.random() < self.polarity_swap:
             features = features[..., ::-1]
         if self.pixel_dropout > 0:
-            features = np.ascontiguousarray(features)
+            # copy unconditionally: ascontiguousarray aliases an already-
+            # contiguous input, and the scatter below writes in place
+            features = features.copy()
             nz = np.nonzero(features)
             if nz[0].size:
                 drop = rng.random(nz[0].size) < self.pixel_dropout

@@ -84,6 +84,11 @@ class CheckpointManager:
                 stale_meta = stale + ".meta.json"
                 if os.path.exists(stale_meta):
                     os.remove(stale_meta)
+        # Orbax's save checks directory existence on EVERY process; without
+        # a barrier a non-primary process on the shared filesystem can race
+        # the primary's rmtree above (observe the old dir mid-delete) when a
+        # step is re-saved after resume.
+        dist.barrier("ckpt_pre_save")
         self._ckpt.save(path, state)
         self._latest_name = name
         if primary and meta is not None:

@@ -92,10 +92,14 @@ class CSVLogger:
             self._columns.extend(new_cols)
             with open(self._path) as f:
                 lines = f.read().splitlines()[1:]
-            with open(self._path, "w") as f:
+            # atomic schema rewrite: a crash mid-write must not lose the
+            # prior metric history
+            tmp = self._path + ".tmp"
+            with open(tmp, "w") as f:
                 f.write(",".join(self._columns) + "\n")
                 pad = "," * len(new_cols)
                 f.writelines(line + pad + "\n" for line in lines)
+            os.replace(tmp, self._path)
         with open(self._path, "a") as f:
             f.write(
                 ",".join(

@@ -491,9 +491,10 @@ class Trainer:
 
         finally:
             # stop prefetch + loader worker threads even when the
-            # epoch loop raises (loader error, NaN abort, Ctrl-C)
+            # epoch loop raises (loader error, NaN abort, Ctrl-C);
+            # close tracker backends too so event files are flushed
             train_iter.close()
-        self.logger.close()
+            self.logger.close()
         dist.barrier("fit_end")
         return {
             "params": params,
@@ -599,7 +600,16 @@ class Trainer:
                 )
                 shown = None if t < model.time_window else np.asarray(dets[0])
                 video.append(plotter.apply(frames[t], shown, None))
+            gt = np.asarray(labels[0])
+            if gt.ndim == 2 and gt.shape[1] == 6:
+                # MT labels are (frame_idx, class, x1..y2); slice off the
+                # window-relative frame index so the plotter's (class,
+                # x1..y2) contract holds. Deliberate divergence from the
+                # reference, which passes 6-col labels into a 5-col
+                # plotter API and silently draws wrong GT boxes
+                # (reference models/soda.py:199 -> utils/plotter.py:104).
+                gt = gt[:, 1:]
             video.append(
-                plotter.apply(frames[-1], np.asarray(dets[0]), labels[0])
+                plotter.apply(frames[-1], np.asarray(dets[0]), gt)
             )
             plotter(video, data.time_step, str(batch_idx))

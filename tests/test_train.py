@@ -157,6 +157,37 @@ def test_predict_over_mt_windows(synth_root, tmp_path):
     assert vids, "MT predict must write a video"
 
 
+def test_predict_slices_mt_labels_for_plotter(synth_root, tmp_path):
+    """Trainer.predict must hand the plotter (class, x1..y2) GT rows:
+    6-column MT labels are sliced past the frame index. Deliberate
+    divergence from the reference bug (soda.py:199 feeds 6-col labels
+    to a 5-col plotter API, silently drawing wrong GT boxes)."""
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=1)
+    dm = PropheseeDataModule(
+        data_dir=synth_root, dataset="gen1", batch_size=1, num_workers=1,
+        num_load_file=2, num_steps=3, time_step=16, one_label=False,
+        max_labels=8, seed=0,
+    )
+    raw = next(iter(dm.predict_loader()))[1][0]  # [N, 6] MT labels
+    seen = []
+    plotter = Plotter(save_video=False, show_video=False)
+    orig_apply = plotter.apply
+
+    def capture(frame, preds, target):
+        seen.append(None if target is None else np.asarray(target))
+        return orig_apply(frame, preds, target)
+
+    plotter.apply = capture
+    params, stats = model.init(jax.random.PRNGKey(0))
+    trainer = Trainer(out_dir=str(tmp_path / "run"), seed=0,
+                      limit_predict_batches=1)
+    trainer.predict(model, dm, params, stats, plotter)
+    targets = [t for t in seen if t is not None]
+    assert targets, "final frame must render GT"
+    assert targets[-1].shape[1] == 5  # (class, x1..y2), frame idx gone
+    np.testing.assert_allclose(targets[-1], np.asarray(raw)[:, 1:])
+
+
 def test_fit_auto_resume(synth_root, tmp_path):
     """ckpt_path='auto' resumes from the run's own last checkpoint."""
     model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
