@@ -133,6 +133,11 @@ class SODa:
         self.num_box_out = anchors_per_pixel * 4
         self.num_class_out = anchors_per_pixel * (num_classes + 1)
         self.anchors_per_pixel = anchors_per_pixel
+        # retained for checkpoint import verification
+        # (scripts/import_torch_ckpt.py vs head_net.anchor_gen_I.sizes,
+        # reference utils/anchors.py:26-27)
+        self.scale_sizes = sizes
+        self.anchor_ratios = ratios
 
         per_scale_anchors = [
             anchor_ops.generate_anchors(hw[0], hw[1], sizes[idx], ratios)

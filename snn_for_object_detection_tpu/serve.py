@@ -1,0 +1,188 @@
+"""Multi-camera streaming inference engine (production serving path).
+
+The productization of the reference's streaming promise — the stateful
+O(1)-per-frame ``predict`` API (/root/reference/models/soda.py:202-233)
+— scaled to many cameras per chip: N independent event streams share
+one jitted batched step (the batch axis amortizes weight reads and
+dispatch; see ``benchmarks/bench_streaming.py`` for the measured
+capacity, ~38 real-time GEN1 cameras per v5e chip).
+
+TPU-first design: the engine owns a fixed-capacity slot array so every
+step runs the SAME compiled program (static shapes — no recompiles as
+cameras come and go). Each camera occupies one slot; its recurrent
+state lives in the slot's batch row. Adding/removing/resetting a
+stream touches only that row (one jitted ``.at[idx].set`` per state
+leaf); frames of empty slots are zeros and their outputs are dropped
+on the host.
+
+Example
+-------
+    engine = StreamingEngine(model, params, stats, capacity=32)
+    engine.add_stream("cam0")
+    engine.add_stream("cam1")
+    while True:
+        dets = engine.step({"cam0": f0, "cam1": f1})
+        # dets: {"cam0": np.ndarray [k, 6] (class, conf, x1..y2), ...}
+
+Detections for a stream are suppressed for its first
+``model.time_window`` frames (state warm-up, soda.py:197).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snn_for_object_detection_tpu.ops.nms import filter_detections
+
+
+class StreamingEngine:
+    """Batched stateful inference over up to ``capacity`` camera
+    streams with per-stream add / remove / reset."""
+
+    def __init__(
+        self,
+        model,
+        params: Any,
+        stats: Any,
+        capacity: int = 32,
+        max_out: int = 300,
+        threshold: float = 0.0,
+    ):
+        """
+        :param model: A :class:`SODa` detector.
+        :param params: Model parameters pytree.
+        :param stats: Model statistics (BatchNorm running stats).
+        :param capacity: Maximum simultaneous streams. The compiled
+            step's batch size — pick once for the deployment; the
+            engine never recompiles.
+        :param max_out: Detection rows per stream per frame (padded,
+            class −1 for empty).
+        :param threshold: Confidence floor applied in the host fan-out
+            (0 keeps every foreground row).
+        """
+        self.model = model
+        self.capacity = int(capacity)
+        self.max_out = int(max_out)
+        self.threshold = float(threshold)
+        self._params = params
+        self._stats = stats
+        self._h, self._w = model.in_hw
+        self._state = model.init_state(self.capacity)
+        # one zeroed single-row state kept as the reset source
+        self._zero_row = model.init_state(1)
+        self._slots: Dict[str, int] = {}
+        self._free: List[int] = list(range(self.capacity - 1, -1, -1))
+        self._age: Dict[str, int] = {}
+        self._frames = np.zeros(
+            (self.capacity, self._h, self._w, 2), np.float32
+        )
+
+        def _step(params, stats, frames, state):
+            return model.predict(params, stats, frames, state,
+                                 max_out=max_out)
+
+        # donate the carried state: the update happens in place on
+        # device, so the state buffer never doubles in HBM
+        self._jit_step = jax.jit(_step, donate_argnums=(3,))
+
+        def _reset_row(state, zero_row, idx):
+            return jax.tree_util.tree_map(
+                lambda s, z: s.at[idx].set(z[0].astype(s.dtype)),
+                state, zero_row,
+            )
+
+        self._jit_reset = jax.jit(_reset_row, donate_argnums=(0,))
+
+    # ----- stream lifecycle -----
+
+    @property
+    def streams(self) -> List[str]:
+        return list(self._slots)
+
+    def add_stream(self, stream_id: str) -> int:
+        """Attach a camera; returns its slot. Raises when full."""
+        if stream_id in self._slots:
+            raise KeyError(f"stream {stream_id!r} already attached")
+        if not self._free:
+            raise RuntimeError(
+                f"engine at capacity ({self.capacity} streams); "
+                "remove_stream() one or build with a larger capacity"
+            )
+        slot = self._free.pop()
+        self._slots[stream_id] = slot
+        self._age[stream_id] = 0
+        self._state = self._jit_reset(
+            self._state, self._zero_row, jnp.int32(slot)
+        )
+        return slot
+
+    def remove_stream(self, stream_id: str) -> None:
+        """Detach a camera and free its slot."""
+        slot = self._slots.pop(stream_id)  # KeyError for unknown id
+        self._age.pop(stream_id)
+        self._free.append(slot)
+
+    def reset_stream(self, stream_id: str) -> None:
+        """Zero a camera's recurrent state (e.g. on a stream gap)."""
+        slot = self._slots[stream_id]
+        self._age[stream_id] = 0
+        self._state = self._jit_reset(
+            self._state, self._zero_row, jnp.int32(slot)
+        )
+
+    # ----- inference -----
+
+    def step(
+        self, frames: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        """Advance every attached stream by one frame.
+
+        :param frames: stream_id -> event frame [H, W, 2]. Streams
+            missing from the dict receive an all-zero frame (their
+            state still advances — an event camera produces no events
+            for a static scene, so this is the faithful idle input).
+        :return: stream_id -> filtered detections [k, 6] numpy array
+            (class, conf, x1, y1, x2, y2), empty during the stream's
+            first ``model.time_window`` frames.
+        """
+        unknown = set(frames) - set(self._slots)
+        if unknown:
+            raise KeyError(f"unattached streams: {sorted(unknown)}")
+        self._frames[:] = 0.0
+        for sid, frame in frames.items():
+            frame = np.asarray(frame)
+            if frame.shape != (self._h, self._w, 2):
+                raise ValueError(
+                    f"stream {sid!r}: frame shape {frame.shape} != "
+                    f"({self._h}, {self._w}, 2)"
+                )
+            self._frames[self._slots[sid]] = frame
+        dets, self._state = self._jit_step(
+            self._params, self._stats, jnp.asarray(self._frames),
+            self._state,
+        )
+        dets_np = np.asarray(dets)
+        out: Dict[str, np.ndarray] = {}
+        for sid, slot in self._slots.items():
+            self._age[sid] += 1
+            if self._age[sid] <= self.model.time_window:
+                out[sid] = np.zeros((0, 6), np.float32)
+                continue
+            rows = filter_detections(dets_np[slot])
+            if self.threshold > 0.0:
+                rows = rows[rows[:, 1] >= self.threshold]
+            out[sid] = rows
+        return out
+
+    def update_weights(
+        self, params: Any, stats: Optional[Any] = None
+    ) -> None:
+        """Swap model weights without disturbing stream states (live
+        model refresh during serving)."""
+        self._params = params
+        if stats is not None:
+            self._stats = stats

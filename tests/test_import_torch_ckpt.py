@@ -1,0 +1,179 @@
+"""Reference-checkpoint importer round trip (scripts/import_torch_ckpt.py).
+
+The importer maps a Lightning ``state_dict`` (the reference's shipped
+``nets/tiny_yolo/tiny_yolo_gen1.ckpt`` format — torch OIHW convs, BN
+gamma/running stats, per-scale head trees of
+/root/reference/models/generator.py:403-413) onto this framework's
+(params, stats) pytrees. Tested today without reference weights by:
+
+- pinning the generated torch key names for TinyYolo against
+  hand-derived golden keys (registration scheme of
+  generator.py:82-143, 403-413, 521-525);
+- synthesizing a fully reference-named state_dict and asserting a
+  strict, leaf-exact import (values transposed OIHW->HWIO);
+- pinning the conv-weight orientation functionally: a crafted OIHW
+  kernel imported into a single-conv model must reproduce
+  ``torch.nn.functional.conv2d`` output;
+- anchor table verification against ``head_net.anchor_gen_I.*``.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from scripts.import_torch_ckpt import (  # noqa: E402
+    import_state_dict,
+    jax_to_torch_key,
+)
+from snn_for_object_detection_tpu.models import TinyYolo  # noqa: E402
+from tests.test_detector import MicroSODa  # noqa: E402
+
+
+def _walk(tree, path=()):
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            yield from _walk(tree[k], path + (str(k),))
+    else:
+        yield list(path), tree
+
+
+def _synth_state_dict(model, rng):
+    """Build a reference-named state_dict covering every model leaf,
+    with torch-shaped (OIHW) tensors, plus the bookkeeping entries a
+    real Lightning checkpoint carries."""
+    params, stats = model.init(jax.random.PRNGKey(0))
+    sd = {}
+    for path, leaf in _walk(params):
+        key = jax_to_torch_key(path, "params")
+        arr = rng.standard_normal(np.shape(leaf)).astype(np.float32)
+        if path[-1] == "w":
+            arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+        sd[key] = torch.from_numpy(arr)
+    for path, leaf in _walk(stats):
+        key = jax_to_torch_key(path, "stats")
+        arr = rng.standard_normal(np.shape(leaf)).astype(np.float32)
+        if path[-1] == "var":
+            arr = np.abs(arr) + 0.5
+        sd[key] = torch.from_numpy(arr)
+        bn_prefix = key.rsplit(".", 1)[0]
+        sd[bn_prefix + ".num_batches_tracked"] = torch.tensor(100)
+    for i in range(len(model.scale_sizes)):
+        sd[f"head_net.anchor_gen_{i}.sizes"] = torch.from_numpy(
+            np.asarray(model.scale_sizes[i], np.float32)
+        )
+        sd[f"head_net.anchor_gen_{i}.ratios"] = torch.from_numpy(
+            np.asarray(model.anchor_ratios, np.float32)
+        )
+    return sd
+
+
+def test_tiny_yolo_key_names_match_reference_scheme():
+    """Spot-pin generated keys at every structural position of the
+    reference module tree (BackboneGen/NeckGen nesting, C2f depth,
+    per-scale heads)."""
+    model = TinyYolo(num_classes=2, in_hw=(240, 304))
+    params, stats = model.init(jax.random.PRNGKey(0))
+    keys = {jax_to_torch_key(p, "params") for p, _ in _walk(params)}
+    keys |= {jax_to_torch_key(p, "stats") for p, _ in _walk(stats)}
+
+    golden = {
+        # backbone entry conv + BN (tiny_yolo.py stage 0)
+        "base_net.net.net.0.0.weight",
+        "base_net.net.net.0.1.weight",
+        "base_net.net.net.0.1.running_mean",
+        "base_net.net.net.0.1.running_var",
+        # C2f inner bottleneck conv: block at layer 10, Dense branch 0,
+        # nested Residual chain
+        "base_net.net.net.0.10.net.0.0.weight",
+        "base_net.net.net.0.10.net.1.0.weight",
+        # neck top-level conv
+        "neck_net.net.net.0.0.weight",
+        # per-scale heads: stem conv+BN, box & cls 1x1 convs
+        "head_net.model_0.base_net.net.0.0.weight",
+        "head_net.model_0.base_net.net.0.1.weight",
+        "head_net.model_0.box_net.net.0.0.weight",
+        "head_net.model_0.cls_net.net.0.0.weight",
+        "head_net.model_2.cls_net.net.0.0.weight",
+    }
+    missing = golden - keys
+    assert not missing, f"expected reference keys absent: {sorted(missing)}"
+    # every generated key must use the reference prefixes
+    for k in keys:
+        assert k.split(".")[0] in {"base_net", "neck_net", "head_net"}, k
+
+
+def test_round_trip_leaf_exact():
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=1)
+    rng = np.random.default_rng(7)
+    sd = _synth_state_dict(model, rng)
+    params, stats, report = import_state_dict(model, sd, strict=True)
+    assert not report["missing"] and not report["unused"]
+    assert all(a["match"] for a in report["anchors"])
+    assert len(report["anchors"]) == len(model.scale_sizes)
+
+    # each leaf equals the transposed source tensor
+    for path, leaf in _walk(params):
+        key = jax_to_torch_key(path, "params")
+        src = sd[key].numpy()
+        if path[-1] == "w":
+            src = np.transpose(src, (2, 3, 1, 0))
+        np.testing.assert_array_equal(np.asarray(leaf), src)
+    for path, leaf in _walk(stats):
+        key = jax_to_torch_key(path, "stats")
+        np.testing.assert_array_equal(np.asarray(leaf), sd[key].numpy())
+
+    # the imported model must run
+    x = jnp.ones((1, 1, 32, 40, 2), jnp.float32)
+    (cls, box), _, _ = model.forward(params, stats, x, train=False)
+    assert np.isfinite(np.asarray(cls)).all()
+    assert np.isfinite(np.asarray(box)).all()
+
+
+def test_conv_orientation_pinned_against_torch():
+    """A distinctive OIHW kernel imported through the full path must
+    reproduce torch's conv semantics — catches symmetric transpose
+    errors the leaf round trip can't see."""
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=1)
+    rng = np.random.default_rng(3)
+    sd = _synth_state_dict(model, rng)
+    params, _, _ = import_state_dict(model, sd, strict=True)
+
+    w_oihw = sd["base_net.net.net.0.0.weight"].numpy()  # [8, 2, 3, 3]
+    x = rng.standard_normal((1, 2, 9, 9)).astype(np.float32)
+    ref = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w_oihw), stride=2, padding=1
+    ).numpy()  # NCHW
+
+    from snn_for_object_detection_tpu.models.compile import _conv2d
+
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    mine = _conv2d(x_nhwc, params["backbone"]["b0"]["l0"]["w"], 2, 1)
+    mine_nchw = np.transpose(np.asarray(mine), (0, 3, 1, 2))
+    np.testing.assert_allclose(mine_nchw, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_missing_and_extra_keys_raise():
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=1)
+    rng = np.random.default_rng(11)
+    sd = _synth_state_dict(model, rng)
+    sd.pop("base_net.net.net.0.0.weight")
+    with pytest.raises(ValueError, match="without tensors"):
+        import_state_dict(model, sd, strict=True)
+
+    sd = _synth_state_dict(model, rng)
+    sd["base_net.net.net.0.99.weight"] = torch.zeros(1)
+    with pytest.raises(ValueError, match="unconsumed"):
+        import_state_dict(model, sd, strict=True)
+
+
+def test_shape_mismatch_raises():
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=1)
+    rng = np.random.default_rng(13)
+    sd = _synth_state_dict(model, rng)
+    sd["base_net.net.net.0.0.weight"] = torch.zeros(4, 2, 3, 3)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_state_dict(model, sd, strict=True)

@@ -1,0 +1,154 @@
+"""StreamingEngine: multi-camera serving API (serve.py).
+
+Pins the production contract on top of the reference's streaming
+promise (soda.py:202-233): per-stream state isolation under a shared
+batched step, slot lifecycle (add/remove/reset), warm-up suppression,
+and static-shape stability (no recompiles as cameras come and go).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from snn_for_object_detection_tpu.serve import StreamingEngine
+from tests.test_detector import MicroSODa
+
+H, W = 32, 40
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MicroSODa(num_classes=2, in_hw=(H, W), time_window=2)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    return model, params, stats
+
+
+def frame(seed):
+    return (np.random.default_rng(seed).random((H, W, 2)) < 0.2).astype(
+        np.float32
+    )
+
+
+def test_lifecycle_and_outputs(setup):
+    model, params, stats = setup
+    eng = StreamingEngine(model, params, stats, capacity=4)
+    eng.add_stream("a")
+    eng.add_stream("b")
+    assert sorted(eng.streams) == ["a", "b"]
+    for t in range(5):
+        out = eng.step({"a": frame(t), "b": frame(100 + t)})
+        assert sorted(out) == ["a", "b"]
+        for d in out.values():
+            assert d.ndim == 2 and d.shape[1] == 6
+            if t < model.time_window:  # warm-up suppression
+                assert d.shape[0] == 0
+    eng.remove_stream("a")
+    assert eng.streams == ["b"]
+    out = eng.step({"b": frame(9)})
+    assert sorted(out) == ["b"]
+
+
+def test_stream_state_isolation(setup):
+    """Stream A's detections must be bit-identical whether or not other
+    cameras share the chip — the batched step may not couple slots."""
+    model, params, stats = setup
+    frames_a = [frame(t) for t in range(6)]
+
+    eng1 = StreamingEngine(model, params, stats, capacity=4)
+    eng1.add_stream("a")
+    solo = [eng1.step({"a": f})["a"] for f in frames_a]
+
+    eng2 = StreamingEngine(model, params, stats, capacity=4)
+    eng2.add_stream("x")
+    eng2.step({"x": frame(500)})  # stagger: x is mid-stream when a joins
+    eng2.add_stream("a")
+    shared = []
+    for t, f in enumerate(frames_a):
+        out = eng2.step({"a": f, "x": frame(600 + t)})
+        shared.append(out["a"])
+    for s, m in zip(solo, shared):
+        np.testing.assert_array_equal(s, m)
+
+
+def test_slot_reuse_resets_state(setup):
+    """A slot freed by remove_stream and reattached behaves as fresh:
+    age suppression restarts and the recurrent state is zeroed."""
+    model, params, stats = setup
+    frames_c = [frame(t) for t in range(5)]
+
+    eng = StreamingEngine(model, params, stats, capacity=1)
+    eng.add_stream("old")
+    for t in range(4):
+        eng.step({"old": frame(50 + t)})
+    eng.remove_stream("old")
+    eng.add_stream("c")  # reuses the only slot
+    reused = [eng.step({"c": f})["c"] for f in frames_c]
+
+    fresh_eng = StreamingEngine(model, params, stats, capacity=1)
+    fresh_eng.add_stream("c")
+    fresh = [fresh_eng.step({"c": f})["c"] for f in frames_c]
+    for r, f in zip(reused, fresh):
+        np.testing.assert_array_equal(r, f)
+
+
+def test_reset_stream(setup):
+    model, params, stats = setup
+    eng = StreamingEngine(model, params, stats, capacity=2)
+    eng.add_stream("a")
+    seq = [frame(t) for t in range(4)]
+    first = [eng.step({"a": f})["a"] for f in seq]
+    eng.reset_stream("a")
+    second = [eng.step({"a": f})["a"] for f in seq]
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_idle_stream_advances_with_zero_frame(setup):
+    model, params, stats = setup
+    eng = StreamingEngine(model, params, stats, capacity=2)
+    eng.add_stream("a")
+    eng.add_stream("b")
+    out = eng.step({"a": frame(1)})  # b omitted -> zero frame
+    assert sorted(out) == ["a", "b"]
+
+
+def test_errors(setup):
+    model, params, stats = setup
+    eng = StreamingEngine(model, params, stats, capacity=1)
+    eng.add_stream("a")
+    with pytest.raises(KeyError):
+        eng.add_stream("a")
+    with pytest.raises(RuntimeError, match="capacity"):
+        eng.add_stream("b")
+    with pytest.raises(KeyError, match="unattached"):
+        eng.step({"nope": frame(0)})
+    with pytest.raises(ValueError, match="shape"):
+        eng.step({"a": np.zeros((4, 4, 2), np.float32)})
+    with pytest.raises(KeyError):
+        eng.remove_stream("nope")
+
+
+def test_update_weights_keeps_states(setup):
+    model, params, stats = setup
+    eng = StreamingEngine(model, params, stats, capacity=2)
+    eng.add_stream("a")
+    seq = [frame(t) for t in range(4)]
+    for f in seq[:2]:
+        eng.step({"a": f})
+    eng.update_weights(params, stats)  # same weights -> same trajectory
+    cont = [eng.step({"a": f})["a"] for f in seq[2:]]
+
+    ref_eng = StreamingEngine(model, params, stats, capacity=2)
+    ref_eng.add_stream("a")
+    ref = [ref_eng.step({"a": f})["a"] for f in seq]
+    for a, b in zip(cont, ref[2:]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_threshold_filters(setup):
+    model, params, stats = setup
+    eng = StreamingEngine(model, params, stats, capacity=1, threshold=2.0)
+    eng.add_stream("a")
+    for t in range(model.time_window + 2):
+        out = eng.step({"a": frame(t)})
+    assert out["a"].shape[0] == 0  # conf is a probability < 2.0
