@@ -703,25 +703,31 @@ def compile_block(
         }
 
     def _fused_groups(layers):
-        """Indices of [Conv3x3 s1 -> Norm -> LIF/LI] triples eligible
-        for the fused temporal Pallas kernel (seq mode, eval only)."""
+        """Indices of [Conv kxk (k in {1,3}, stride in {1,2}) -> Norm
+        -> LIF/LI] triples eligible for the fused temporal Pallas
+        kernel (seq mode, eval only) — the full spiking-conv menu of
+        the flagship architecture: 3x3 s1 trunk convs, 3x3 s2
+        downsamples, 1x1 C2f projections."""
         groups = {}
         li = 0
         while li + 2 < len(layers):
             m0, m1, m2 = (layers[li].meta, layers[li + 1].meta,
                           layers[li + 2].meta)
             if (
-                m0 is not None and m0[0] == "conv" and m0[1:] == (3, 1)
+                m0 is not None and m0[0] == "conv"
+                and m0[1] in (1, 3) and m0[2] in (1, 2)
                 and m1 is not None and m1[0] == "norm"
                 and m2 is not None and m2[0] == "cell"
             ):
-                groups[li] = (m1[1], m2[1], m2[2])  # eps, cell, record
+                # eps, cell, record, stride
+                groups[li] = (m1[1], m2[1], m2[2], m0[2])
                 li += 3
             else:
                 li += 1
         return groups
 
-    def _run_fused(layers, li, eps, cell, params_b, stats_b, state_b, X):
+    def _run_fused(layers, li, eps, cell, stride, params_b, stats_b,
+                   state_b, X):
         from snn_for_object_detection_tpu.ops import pallas_kernels
 
         a, b = _bn_eval_coeffs(
@@ -730,7 +736,7 @@ def compile_block(
         st = state_b[f"l{li + 2}"]
         z, v_t, i_t = pallas_kernels.spiking_conv_seq(
             X, params_b[f"l{li}"]["w"].astype(X.dtype), a, b,
-            st.v, st.i, cell=cell,
+            st.v, st.i, cell=cell, stride=stride,
         )
         return z, type(st)(v_t, i_t)
 
@@ -756,9 +762,10 @@ def compile_block(
                         ctx.fuse and not ctx.train and ctx.step_mask is None
                     ) else None
                     if grp is not None and not (grp[2] and ctx.record):
-                        eps, cell, _ = grp
+                        eps, cell, _, stride = grp
                         y, cell_state = _run_fused(
-                            layers, li, eps, cell, p_b, s_b, st_b, y
+                            layers, li, eps, cell, stride, p_b, s_b,
+                            st_b, y
                         )
                         b_stats[f"l{li}"] = s_b[f"l{li}"]
                         b_stats[f"l{li + 1}"] = s_b[f"l{li + 1}"]

@@ -310,8 +310,9 @@ def xla_pointwise_conv_bn_lif(x, w, a, b, v, i):
 
 
 # ---------------------------------------------------------------------------
-# Fused temporal spiking-conv kernel: 3x3 conv + BN affine + LIF/LI,
-# whole time loop inside, neuron state resident in VMEM
+# Fused temporal spiking-conv kernel: kxk conv (k in {1, 3}, stride in
+# {1, 2}) + BN affine + LIF/LI, whole time loop inside, neuron state
+# resident in VMEM
 # ---------------------------------------------------------------------------
 #
 # The profiled seq-path cost of one spiking conv unit is dominated by
@@ -319,25 +320,31 @@ def xla_pointwise_conv_bn_lif(x, w, a, b, v, i):
 # affine is a separate full-tensor pass, the temporal cell kernel needs
 # channel-minor input, and XLA inserts full relayout copies at each
 # boundary (~60% of forward_seq wall time is copies/affines/reshapes).
-# This kernel replaces the whole [Conv 3x3 s1 -> BN(eval) -> LIF/LI]
+# This kernel replaces the whole [Conv kxk -> BN(eval) -> LIF/LI]
 # unit for a [T, N, H, W, C] sequence with ONE pass:
 #
-#   grid (N, H/rH, T), t innermost; per (n, h-block):
-#     t=0: load (v, i) block into VMEM scratch
-#     each t: DMA the (rH+2, W+2, Cin) input slab from HBM,
-#             per output row: im2col by lane-concat of 9 shifted
-#             (W, Cin) slices -> ONE (W, 9*Cin) @ (9*Cin, Cout) MXU
-#             matmul (fp32 accumulate), round to the compute dtype,
-#             BN affine, cell update in fp32 (VPU),
-#             write the spike/voltage row
+#   grid (N/nb, H_out/rh, T), t innermost; per (n-block, h-block):
+#     t=0: load the (v, i) block into VMEM scratch
+#     each t: DMA the (nb, (rh-1)*s+k, W_in_pad, Cin) input slab,
+#             accumulate k*k tap matmuls
+#               acc += shifted_window @ W[tap]   (MXU, fp32 acc)
+#             — NO im2col staging copy: the flattened-column scratch
+#             of the previous design cost 24-42 MiB of scoped VMEM at
+#             nb>1 (compile-time OOM, round-2 finding); per-tap
+#             windows feed the MXU directly from the slab —
+#             then round to the compute dtype, BN affine, cell update
+#             in fp32 (VPU), write the spike/voltage block
 #     t=T-1: flush (v, i) scratch to the outputs
 #
 # HBM traffic = read x_seq once + write z_seq once (+ states once);
 # the conv/BN intermediates and the (v, i) time loop never leave VMEM.
+# nb (images per grid step) is chosen to fill a VMEM budget — it
+# amortizes the microsecond-scale grid-step sequencing overhead that
+# kept the previous nb=1 kernel at parity with XLA.
 
-def _spiking_conv_kernel(cell, nb, rh, w_width, cin):
+def _spiking_conv_kernel(cell, nb, rh, w_out, cin, k, stride):
     def kernel(x_ref, w_ref, a_ref, b_ref, v0_ref, i0_ref,
-               z_ref, vT_ref, iT_ref, col_s, v_s, i_s):
+               z_ref, vT_ref, iT_ref, v_s, i_s):
         t = pl.program_id(2)
 
         @pl.when(t == 0)
@@ -345,27 +352,28 @@ def _spiking_conv_kernel(cell, nb, rh, w_width, cin):
             v_s[:] = v0_ref[:]
             i_s[:] = i0_ref[:]
 
-        x_s = x_ref[0, :, 0]      # (nb, rh+2, W+2, Cin) halo slabs
-        w_mat = w_ref[:]          # (9*Cin, Cout)
+        x_s = x_ref[0, :, 0]  # (nb, hs, ws, Cin) halo slabs
         a = a_ref[:]
         b = b_ref[:]
-        # Block-level im2col: 9 strided stores stage every shifted
-        # (nb, rh, W, Cin) window into one (nb, rh, W, 9*Cin) scratch
-        # (register-level lane-concat of offset slices trips Mosaic's
-        # layout inference, so the windows go through VMEM — never
-        # HBM), then the whole nb-image block is ONE
-        # (nb*rh*W, 9Cin) x (9Cin, Cout) MXU matmul and the cell update
-        # is a single block-wide VPU pass. nb amortizes the
-        # microsecond-scale grid-step overhead.
-        for dy in range(3):
-            for dx in range(3):
-                k = dy * 3 + dx
-                col_s[:, :, :, k * cin:(k + 1) * cin] = (
-                    x_s[:, dy:dy + rh, dx:dx + w_width, :]
+        acc = None
+        for dy in range(k):
+            for dx in range(k):
+                if stride == 1:
+                    patch = x_s[:, dy:dy + rh, dx:dx + w_out, :]
+                else:
+                    patch = x_s[
+                        :,
+                        dy:dy + (rh - 1) * stride + 1:stride,
+                        dx:dx + (w_out - 1) * stride + 1:stride,
+                        :,
+                    ]
+                m = jnp.dot(
+                    patch.reshape(nb * rh * w_out, cin),
+                    w_ref[dy * k + dx],
+                    preferred_element_type=jnp.float32,
                 )
-        lhs = col_s[:].reshape(nb * rh * w_width, 9 * cin)
-        y = jnp.dot(lhs, w_mat, preferred_element_type=jnp.float32)
-        y = y.reshape(nb, rh, w_width, -1)
+                acc = m if acc is None else acc + m
+        y = acc.reshape(nb, rh, w_out, -1)
         # conv rounds to the compute dtype, then the eval-mode BN
         # affine runs in that dtype (matches the XLA path:
         # compile._bn_eval_affine)
@@ -398,97 +406,131 @@ def _spiking_conv_kernel(cell, nb, rh, w_width, cin):
     return kernel
 
 
+def _pick_nb(N, bytes_per_image, budget=10 * 1024 * 1024):
+    """Largest divisor of N whose per-grid-step VMEM footprint fits the
+    budget (~10 MiB of the 16 MiB VMEM, leaving headroom for Mosaic's
+    own temporaries and double buffering)."""
+    best = 1
+    for nb in range(1, N + 1):
+        if N % nb == 0 and nb * bytes_per_image <= budget:
+            best = nb
+    return best
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cell", "interpret")
+    jax.jit, static_argnames=("cell", "stride", "interpret")
 )
-def _spiking_conv_seq_impl(x_seq, w, a, b, v0, i0, cell, interpret):
+def _spiking_conv_seq_impl(x_seq, w, a, b, v0, i0, cell, stride, interpret):
     T, N, H, W, cin = x_seq.shape
+    k = w.shape[0]
     cout = w.shape[-1]
-    # kernel as one (9*Cin, Cout) matmul operand, row-major (dy, dx, ci)
-    w_mat = w.reshape(9 * cin, cout).astype(x_seq.dtype)
+    h_out, w_out = v0.shape[1], v0.shape[2]
+    # kernel as k*k (Cin, Cout) tap operands
+    w_taps = w.reshape(k * k, cin, cout).astype(x_seq.dtype)
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    xp = jnp.pad(x_seq, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    pad = k // 2
+    if pad:
+        xp = jnp.pad(
+            x_seq, ((0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0))
+        )
+    else:
+        xp = x_seq
 
     rh = 1
     for cand in (8, 6, 5, 4, 3, 2):
-        if H % cand == 0:
+        if h_out % cand == 0:
             rh = cand
             break
-    hb = H // rh
-    # Batch images into each grid step until the block covers ~4k
-    # matmul rows: TPU grid steps carry microsecond-scale sequencing/
-    # DMA overhead, so small per-step blocks are overhead-bound.
-    # nb > 1 would amortize the microsecond-scale grid-step overhead
-    # over several images, but Mosaic materializes the im2col reshape
-    # and the fp32 matmul/cell temporaries on the 16 MiB scoped-VMEM
-    # stack — measured 24-42 MiB at nb=8-16 on stage-1 shapes, a
-    # compile-time OOM. Until the kernel is restructured to stream the
-    # matmul from the scratch without the flattening copy, one image
-    # per grid step is the working configuration.
-    nb = 1
-    # Pre-gather the +-1-row halo slabs: [T, N, HB, rh+2, W+2, Cin].
-    # Costs one extra ~1.25x pass over x in HBM but lets every operand
-    # use a plain blocked spec — Pallas double-buffers the DMAs itself
-    # (manual HBM slices of tiled memrefs are rejected by Mosaic).
-    slabs = jnp.stack(
-        [xp[:, :, i * rh : i * rh + rh + 2] for i in range(hb)], axis=2
+    hb = h_out // rh
+    hs = (rh - 1) * stride + k      # slab rows per h-block
+    ws = xp.shape[3]                # full (padded) row width
+    # VMEM per image in a grid step: input slab + z block (x2 for
+    # pipelining) + 4 state blocks + 2 state scratches + fp32 acc.
+    esize = x_seq.dtype.itemsize
+    ssize = v0.dtype.itemsize
+    cpad = -(-cout // 128) * 128
+    cinp = -(-cin // 128) * 128
+    per_image = (
+        2 * hs * ws * max(cinp, 128) * esize
+        + 2 * rh * w_out * cpad * esize
+        + 6 * rh * w_out * cpad * ssize
+        + 4 * rh * w_out * cpad
     )
+    nb = _pick_nb(N, per_image)
+    # Pre-gather halo slabs: [T, N, HB, hs, ws, Cin]. Costs one extra
+    # ~(hs/rh)x pass over x in HBM but lets every operand use a plain
+    # blocked spec — Pallas double-buffers the DMAs itself (manual HBM
+    # slices of tiled memrefs are rejected by Mosaic).
+    if hb > 1 or hs != xp.shape[2]:
+        slabs = jnp.stack(
+            [xp[:, :, i * rh * stride: i * rh * stride + hs]
+             for i in range(hb)],
+            axis=2,
+        )
+    else:
+        slabs = xp[:, :, None]
     grid = (N // nb, hb, T)
 
     state_spec = pl.BlockSpec(
-        (nb, rh, W, cout), lambda n, hb, t: (n, hb, 0, 0),
+        (nb, rh, w_out, cout), lambda n, hb, t: (n, hb, 0, 0),
         memory_space=pltpu.VMEM,
     )
     z_spec = pl.BlockSpec(
-        (1, nb, rh, W, cout), lambda n, hb, t: (t, n, hb, 0, 0),
+        (1, nb, rh, w_out, cout), lambda n, hb, t: (t, n, hb, 0, 0),
         memory_space=pltpu.VMEM,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda n, hb, t: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     x_spec = pl.BlockSpec(
-        (1, nb, 1, rh + 2, W + 2, cin), lambda n, hb, t: (t, n, hb, 0, 0, 0),
+        (1, nb, 1, hs, ws, cin), lambda n, hb, t: (t, n, hb, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     z, vT, iT = pl.pallas_call(
-        _spiking_conv_kernel(cell, nb, rh, W, cin),
+        _spiking_conv_kernel(cell, nb, rh, w_out, cin, k, stride),
         grid=grid,
-        in_specs=[x_spec, full((9 * cin, cout)), full((cout,)),
+        in_specs=[x_spec, full((k * k, cin, cout)), full((cout,)),
                   full((cout,)), state_spec, state_spec],
         out_specs=[z_spec, state_spec, state_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((T, N, H, W, cout), x_seq.dtype),
-            jax.ShapeDtypeStruct((N, H, W, cout), v0.dtype),
-            jax.ShapeDtypeStruct((N, H, W, cout), i0.dtype),
+            jax.ShapeDtypeStruct((T, N, h_out, w_out, cout), x_seq.dtype),
+            jax.ShapeDtypeStruct((N, h_out, w_out, cout), v0.dtype),
+            jax.ShapeDtypeStruct((N, h_out, w_out, cout), i0.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nb, rh, W, 9 * cin), x_seq.dtype),
-            pltpu.VMEM((nb, rh, W, cout), v0.dtype),
-            pltpu.VMEM((nb, rh, W, cout), i0.dtype),
+            pltpu.VMEM((nb, rh, w_out, cout), v0.dtype),
+            pltpu.VMEM((nb, rh, w_out, cout), i0.dtype),
         ],
         interpret=interpret,
-    )(slabs, w_mat, a, b, v0, i0)
+    )(slabs, w_taps, a, b, v0, i0)
     return z, vT, iT
 
 
 def spiking_conv_seq(
     x_seq: jax.Array,   # [T, N, H, W, Cin] compute-dtype sequence
-    w: jax.Array,       # [3, 3, Cin, Cout] conv kernel
+    w: jax.Array,       # [k, k, Cin, Cout] conv kernel, k in {1, 3}
     a: jax.Array,       # [Cout] folded eval-BN scale
     b: jax.Array,       # [Cout] folded eval-BN offset
-    v0: jax.Array,      # [N, H, W, Cout] initial membrane (state dtype)
-    i0: jax.Array,      # [N, H, W, Cout] initial current
+    v0: jax.Array,      # [N, Hout, Wout, Cout] initial membrane
+    i0: jax.Array,      # [N, Hout, Wout, Cout] initial current
     cell: str = "lif",
+    stride: int = 1,
     interpret: bool | None = None,
 ):
-    """Fused [3x3 same-conv -> eval BN -> LIF/LI] over a whole
-    sequence: returns (z_seq, v_T, i_T). Inference-path only (eval-mode
-    BN, no truncation mask); callers fall back to the unfused seq path
-    for training/recording."""
+    """Fused [kxk same-conv (stride 1 or 2) -> eval BN -> LIF/LI] over
+    a whole sequence: returns (z_seq, v_T, i_T). Inference-path only
+    (eval-mode BN, no truncation mask); callers fall back to the
+    unfused seq path for training/recording."""
     if cell not in ("lif", "li"):
         raise ValueError(f"unsupported cell {cell!r}")
+    if w.shape[0] not in (1, 3):
+        raise ValueError(f"unsupported kernel size {w.shape[0]}")
+    if stride not in (1, 2):
+        raise ValueError(f"unsupported stride {stride}")
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    return _spiking_conv_seq_impl(x_seq, w, a, b, v0, i0, cell, interpret)
+    return _spiking_conv_seq_impl(
+        x_seq, w, a, b, v0, i0, cell, stride, interpret
+    )
