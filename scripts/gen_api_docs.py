@@ -39,6 +39,7 @@ MODULES = [
     "snn_for_object_detection_tpu.data.rasterize",
     "snn_for_object_detection_tpu.data.synthetic",
     "snn_for_object_detection_tpu.data.augment",
+    "snn_for_object_detection_tpu.serve",
     "snn_for_object_detection_tpu.train.loop",
     "snn_for_object_detection_tpu.train.metrics",
     "snn_for_object_detection_tpu.train.checkpoint",
