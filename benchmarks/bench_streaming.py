@@ -63,6 +63,30 @@ def main():
     float(dets[..., 1].sum())
     per_frame_e2e = (time.perf_counter() - t0) / CHAIN
 
+    # whole-network B=1 megakernel (ops/megakernel.py): one fused
+    # Pallas program per frame, weights + folded BN + neuron state
+    # resident in VMEM
+    mega = {}
+    try:
+        from snn_for_object_detection_tpu.ops.megakernel import (
+            StreamingMegakernel,
+        )
+
+        mk = StreamingMegakernel(model, params, stats, use_pallas=True)
+        st = None
+        dets, st = mk.predict(frames[0, 0], st)   # compile
+        jax.block_until_ready(dets)
+        t0 = time.perf_counter()
+        st = None
+        for t in range(CHAIN):
+            dets, st = mk.predict(frames[t, 0], st)
+        float(dets[..., 1].sum())
+        mega["megakernel_e2e_ms"] = round(
+            (time.perf_counter() - t0) / CHAIN * 1e3, 2
+        )
+    except Exception as e:
+        mega["megakernel_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # multi-camera serving: S independent streams share one chip; the
     # batch axis amortizes weight reads + dispatch (production serving
     # geometry — each stream keeps its own O(1) state slice)
@@ -88,6 +112,7 @@ def main():
                 "end_to_end_ms": round(per_frame_e2e * 1e3, 2),
                 "unit": "ms/frame (batch 1, incl. NMS decode)",
                 "realtime_budget_ms": 16,
+                **mega,
                 **serving,
             }
         )

@@ -372,6 +372,9 @@ class StreamingMegakernel:
 
         self._body = body
         self._jit_step = jax.jit(self._step_impl)
+        self._jit_predict = jax.jit(
+            self._predict_impl, static_argnums=(2,)
+        )
 
     # ---- state pytree <-> flat slots ----
 
@@ -469,26 +472,47 @@ class StreamingMegakernel:
         bbox_preds = jnp.concatenate(box_list, axis=1)
         return (cls_preds, bbox_preds), new_states
 
-    def step(self, x, state=None):
-        """One frame [H, W, 2] (or [1, H, W, 2]) -> ((cls [1, A, C+1],
-        box [1, A, 4]), new state pytree)."""
-        if x.ndim == 4:
-            x = x[0]
-        if state is None:
-            state = self.model.init_state(1)
-        state_vals = self._state_leaves(state)
-        preds, new_vals = self._jit_step(x, state_vals)
-        return preds, self._rebuild_state(state, new_vals)
-
-    def predict(self, x, state=None, max_out: int = 300):
-        """Full streaming predict: step + detection decode (the
-        ``model.predict`` contract at B=1, including the squeeze for a
-        bare [H, W, 2] frame)."""
-        squeeze = x.ndim == 3
-        (cls_p, box_p), state = self.step(x, state)
-        dets = self.model.detect((cls_p, box_p), max_out=max_out)
+    def _predict_impl(self, x, state_vals, max_out):
+        preds, new_states = self._step_impl(x, state_vals)
+        dets = self.model.detect(preds, max_out=max_out)
         boxes = jnp.clip(dets[..., 2:], 0.0, 1.0)
         dets = jnp.concatenate([dets[..., :2], boxes], axis=-1)
+        return dets, new_states
+
+    def _flat_state(self, state):
+        """None / model pytree / already-flat list -> flat slot list."""
+        if state is None:
+            state = self.model.init_state(1)
+        if isinstance(state, list):
+            return state
+        return self._state_leaves(state)
+
+    def step(self, x, state=None):
+        """One frame [H, W, 2] (or [1, H, W, 2]) -> ((cls [1, A, C+1],
+        box [1, A, 4]), new state pytree — the ``model.step``
+        contract)."""
+        if x.ndim == 4:
+            x = x[0]
+        was_tree = state is not None and not isinstance(state, list)
+        tree = state if was_tree else self.model.init_state(1)
+        preds, new_vals = self._jit_step(x, self._flat_state(state))
+        return preds, self._rebuild_state(tree, new_vals)
+
+    def predict(self, x, state=None, max_out: int = 300):
+        """Full streaming predict: one jitted dispatch per frame (step
+        + detection decode). The carried state is an OPAQUE flat list —
+        pass it straight back in; convert with :meth:`to_model_state`
+        for checkpoint/interop."""
+        squeeze = x.ndim == 3
+        if not squeeze:
+            x = x[0]
+        dets, new_vals = self._jit_predict(
+            x, self._flat_state(state), max_out
+        )
         if squeeze:
             dets = dets[0]
-        return dets, state
+        return dets, new_vals
+
+    def to_model_state(self, state_vals):
+        """Flat slot list (from :meth:`predict`) -> model state pytree."""
+        return self._rebuild_state(self.model.init_state(1), state_vals)
