@@ -79,8 +79,12 @@ class SODa:
         self.iou_threshold = iou_threshold
         self.learning_rate = learning_rate
         self.state_storage = state_storage
-        self.compute_dtype = compute_dtype
-        self.state_dtype = state_dtype
+        # accept YAML/CLI strings ("bfloat16", "float8_e4m3fn", ...) as
+        # well as jnp dtypes (config/fast.yaml)
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.state_dtype = jnp.dtype(state_dtype)
+        compute_dtype = self.compute_dtype
+        state_dtype = self.state_dtype
         self.remat = remat
         # lax.scan unroll factor: 2 measures ~9% faster at inference
         # (cross-step fusion); 1 keeps compiles fastest.
