@@ -167,10 +167,17 @@ def _check_anchors(model, sd):
     out = []
     for i in range(len(getattr(model, "scale_sizes", []))):
         k = f"head_net.anchor_gen_{i}.sizes"
+        rk = f"head_net.anchor_gen_{i}.ratios"
         if k not in sd:
             continue
+        if rk not in sd:
+            out.append({
+                "scale": i, "match": False,
+                "error": f"checkpoint has {k} but no {rk}",
+            })
+            continue
         ck_sizes = _to_numpy(sd[k]).ravel()
-        ck_ratios = _to_numpy(sd[f"head_net.anchor_gen_{i}.ratios"]).ravel()
+        ck_ratios = _to_numpy(sd[rk]).ravel()
         mine_sizes = np.asarray(model.scale_sizes[i]).ravel()
         mine_ratios = np.asarray(model.anchor_ratios).ravel()
         ok = (
@@ -229,12 +236,16 @@ def main(argv=None):
 
     for a in report["anchors"]:
         if not a["match"]:
+            detail = a.get("error") or (
+                f"checkpoint sizes={a.get('ckpt_sizes')} "
+                f"ratios={a.get('ckpt_ratios')} vs model "
+                f"sizes={a.get('model_sizes')} "
+                f"ratios={a.get('model_ratios')}"
+            )
             raise SystemExit(
-                f"anchor mismatch at scale {a['scale']}: checkpoint "
-                f"sizes={a['ckpt_sizes']} ratios={a['ckpt_ratios']} vs "
-                f"model sizes={a['model_sizes']} ratios="
-                f"{a['model_ratios']} — pass --model.init_args."
-                "anchor_sizes/anchor_ratios overrides and re-run"
+                f"anchor mismatch at scale {a['scale']}: {detail} — "
+                "pass --model.init_args.anchor_sizes/anchor_ratios "
+                "overrides and re-run"
             )
 
     from snn_for_object_detection_tpu.train.checkpoint import save_single

@@ -45,12 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from snn_for_object_detection_tpu.models import spec as S
 from snn_for_object_detection_tpu.models.compile import _bn_eval_coeffs
-
-# LIF/LI constants (norse defaults, SURVEY.md §2.5)
-_DT = 1e-3
-_TAU_SYN_INV = 200.0
-_TAU_MEM_INV = 100.0
-_V_TH = 1.0
+from snn_for_object_detection_tpu.ops import neurons
 
 
 class UnsupportedLayer(ValueError):
@@ -241,25 +236,19 @@ def _emit_leaf(b: _Builder, layer, in_ch, in_hw, lpath):
         ii = b.add_state(lpath, 1, shape, sdt)
 
         def fn(y, P, Sin, Sout, taps, cell=cell, vi=vi, ii=ii):
+            # single source of truth for the Euler math: ops/neurons
+            # (forward-only; the surrogate-gradient custom_vjp primal
+            # traces cleanly inside the kernel)
             v = Sin[vi].astype(jnp.float32)
             i = Sin[ii].astype(jnp.float32)
             x = y.astype(jnp.float32)
             if cell == "lif":
-                # decay -> spike -> reset -> inject (neurons.lif_step)
-                v_dec = v + _DT * _TAU_MEM_INV * (i - v)
-                i_dec = i - _DT * _TAU_SYN_INV * i
-                spike = v_dec - _V_TH > 0
-                v_new = jnp.where(spike, 0.0, v_dec)
-                i_new = i_dec + x
-                out = spike.astype(cdt)
-            else:  # current jump BEFORE the voltage update (li_step)
-                i_jump = i + x
-                v_new = v + _DT * _TAU_MEM_INV * (i_jump - v)
-                i_new = i_jump - _DT * _TAU_SYN_INV * i_jump
-                out = v_new.astype(cdt)
-            Sout[vi] = v_new.astype(sdt)
-            Sout[ii] = i_new.astype(sdt)
-            return out
+                out, new = neurons.lif_step(x, neurons.LIFState(v, i))
+            else:
+                out, new = neurons.li_step(x, neurons.LIState(v, i))
+            Sout[vi] = new.v.astype(sdt)
+            Sout[ii] = new.i.astype(sdt)
+            return out.astype(cdt)
 
         return fn, in_ch, in_hw
 
@@ -329,7 +318,8 @@ class StreamingMegakernel:
         b = _Builder(model, params, stats)
 
         backbone_fn, ch, hw = _emit_cfg(
-            b, model.backbone_cfgs(), 2, tuple(model.in_hw), ("backbone",)
+            b, model.backbone_cfgs(), model.in_channels,
+            tuple(model.in_hw), ("backbone",),
         )
         neck_fn, _, _ = _emit_cfg(b, model.neck_cfgs(), ch, hw, ("neck",))
 
@@ -492,6 +482,10 @@ class StreamingMegakernel:
         box [1, A, 4]), new state pytree — the ``model.step``
         contract)."""
         if x.ndim == 4:
+            if x.shape[0] != 1:
+                raise ValueError(
+                    f"megakernel is batch-1 only, got batch {x.shape[0]}"
+                )
             x = x[0]
         was_tree = state is not None and not isinstance(state, list)
         tree = state if was_tree else self.model.init_state(1)
@@ -505,6 +499,10 @@ class StreamingMegakernel:
         for checkpoint/interop."""
         squeeze = x.ndim == 3
         if not squeeze:
+            if x.shape[0] != 1:
+                raise ValueError(
+                    f"megakernel is batch-1 only, got batch {x.shape[0]}"
+                )
             x = x[0]
         dets, new_vals = self._jit_predict(
             x, self._flat_state(state), max_out

@@ -71,6 +71,7 @@ class StreamingEngine:
         self._params = params
         self._stats = stats
         self._h, self._w = model.in_hw
+        self._c = model.in_channels
         self._state = model.init_state(self.capacity)
         # one zeroed single-row state kept as the reset source
         self._zero_row = model.init_state(1)
@@ -78,7 +79,7 @@ class StreamingEngine:
         self._free: List[int] = list(range(self.capacity - 1, -1, -1))
         self._age: Dict[str, int] = {}
         self._frames = np.zeros(
-            (self.capacity, self._h, self._w, 2), np.float32
+            (self.capacity, self._h, self._w, self._c), np.float32
         )
 
         def _step(params, stats, frames, state):
@@ -155,10 +156,10 @@ class StreamingEngine:
         self._frames[:] = 0.0
         for sid, frame in frames.items():
             frame = np.asarray(frame)
-            if frame.shape != (self._h, self._w, 2):
+            if frame.shape != (self._h, self._w, self._c):
                 raise ValueError(
                     f"stream {sid!r}: frame shape {frame.shape} != "
-                    f"({self._h}, {self._w}, 2)"
+                    f"({self._h}, {self._w}, {self._c})"
                 )
             self._frames[self._slots[sid]] = frame
         dets, self._state = self._jit_step(

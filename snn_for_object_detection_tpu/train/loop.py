@@ -492,9 +492,12 @@ class Trainer:
         finally:
             # stop prefetch + loader worker threads even when the
             # epoch loop raises (loader error, NaN abort, Ctrl-C);
-            # close tracker backends too so event files are flushed
-            train_iter.close()
-            self.logger.close()
+            # close tracker backends too so event files are flushed —
+            # even when the loader teardown itself raises
+            try:
+                train_iter.close()
+            finally:
+                self.logger.close()
         dist.barrier("fit_end")
         return {
             "params": params,
