@@ -37,11 +37,14 @@ H, W = 240, 304
 
 
 def timeit(fn, *args, reps=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # Sync via a host fetch of the scalar output: on the tunneled dev
+    # platform block_until_ready returns before execution finishes, so
+    # fetching the value is the only reliable barrier (bench.py does
+    # the same).
+    float(fn(*args))
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(reps)]
-    jax.block_until_ready(outs[-1])
+    float(outs[-1])
     return (time.perf_counter() - t0) / reps
 
 

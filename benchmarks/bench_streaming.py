@@ -55,7 +55,7 @@ def main():
     # end-to-end: one dispatch per frame (includes tunnel RTT)
     predict = jax.jit(lambda p, s, x, st: model.predict(p, s, x, st))
     dets, state = predict(params, stats, frames[0], state0)
-    jax.block_until_ready(dets)
+    float(dets[..., 1].sum())  # host fetch = reliable sync on the tunnel
     t0 = time.perf_counter()
     state = state0
     for t in range(CHAIN):
@@ -75,7 +75,7 @@ def main():
         mk = StreamingMegakernel(model, params, stats, use_pallas=True)
         st = None
         dets, st = mk.predict(frames[0, 0], st)   # compile
-        jax.block_until_ready(dets)
+        float(dets[..., 1].sum())  # host fetch = reliable sync
         t0 = time.perf_counter()
         st = None
         for t in range(CHAIN):

@@ -361,11 +361,17 @@ def _spiking_conv_kernel(cell, nb, rh, w_out, cin, k, stride):
                 if stride == 1:
                     patch = x_s[:, dy:dy + rh, dx:dx + w_out, :]
                 else:
+                    # Stride-2 slabs are phase-pre-split in HBM
+                    # (strided slices lower to >2D gathers and
+                    # sublane-splitting reshapes crash Mosaic at
+                    # scale): the slab rows hold the four (row, col)
+                    # decimation phases back to back, (rh+1) rows
+                    # each, so tap (dy, dx) is a plain slice of
+                    # phase (dy%2, dx%2) at offset (dy//2, dx//2).
+                    p = (dy % 2) * 2 + (dx % 2)
+                    r0 = p * (rh + 1) + dy // 2
                     patch = x_s[
-                        :,
-                        dy:dy + (rh - 1) * stride + 1:stride,
-                        dx:dx + (w_out - 1) * stride + 1:stride,
-                        :,
+                        :, r0:r0 + rh, dx // 2:dx // 2 + w_out, :
                     ]
                 m = jnp.dot(
                     patch.reshape(nb * rh * w_out, cin),
@@ -406,13 +412,23 @@ def _spiking_conv_kernel(cell, nb, rh, w_out, cin, k, stride):
     return kernel
 
 
-def _pick_nb(N, bytes_per_image, budget=10 * 1024 * 1024):
+def _pick_nb(N, bytes_per_image, acc_bytes_per_image,
+             budget=10 * 1024 * 1024, acc_budget=512 * 1024):
     """Largest divisor of N whose per-grid-step VMEM footprint fits the
     budget (~10 MiB of the 16 MiB VMEM, leaving headroom for Mosaic's
-    own temporaries and double buffering)."""
+    own temporaries and double buffering) AND whose fp32 matmul
+    accumulator stays under ~512 KiB (128 vregs). Empirically (v5e,
+    2026-08 libtpu) a single kernel value of ~934 KB crashes the
+    Mosaic compiler subprocess outright while 467 KB compiles fine,
+    across unrelated shapes — the accumulator is always the largest
+    value, so cap it."""
     best = 1
     for nb in range(1, N + 1):
-        if N % nb == 0 and nb * bytes_per_image <= budget:
+        if (
+            N % nb == 0
+            and nb * bytes_per_image <= budget
+            and nb * acc_bytes_per_image <= acc_budget
+        ):
             best = nb
     return best
 
@@ -425,6 +441,22 @@ def _spiking_conv_seq_impl(x_seq, w, a, b, v0, i0, cell, stride, interpret):
     k = w.shape[0]
     cout = w.shape[-1]
     h_out, w_out = v0.shape[1], v0.shape[2]
+    if stride == 2 and (H % 2 or W % 2):
+        # Odd input + torch-convention symmetric padding: appending one
+        # zero row/col makes the geometry even with identical outputs
+        # (the extra row lands beyond every sampled tap or in the
+        # existing zero-pad region), so the even-only kernel applies.
+        x_seq = jnp.pad(
+            x_seq, ((0, 0), (0, 0), (0, H % 2), (0, W % 2), (0, 0))
+        )
+        H += H % 2
+        W += W % 2
+    if stride == 2 and k == 1:
+        # 1x1 stride-2 (no padding, torch convention) samples the even
+        # phase only: pre-decimate in HBM and run the stride-1 kernel.
+        x_seq = x_seq[:, :, ::2, ::2]
+        H, W = h_out, w_out
+        stride = 1
     # kernel as k*k (Cin, Cout) tap operands
     w_taps = w.reshape(k * k, cin, cout).astype(x_seq.dtype)
     a = a.astype(jnp.float32)
@@ -443,8 +475,19 @@ def _spiking_conv_seq_impl(x_seq, w, a, b, v0, i0, cell, stride, interpret):
             rh = cand
             break
     hb = h_out // rh
-    hs = (rh - 1) * stride + k      # slab rows per h-block
-    ws = xp.shape[3]                # full (padded) row width
+    if stride == 1:
+        hs = (rh - 1) + k           # slab rows per h-block
+        ws = xp.shape[3]            # full (padded) row width
+    else:
+        # Phase pre-split (k=3 only; k=1 was reduced to stride 1
+        # above): the padded input is decimated into its four
+        # (row, col) phases of (h_out+1, w_out+1) each, and a slab
+        # stacks the four phases back to back on the row axis so the
+        # kernel needs only plain slices. xp is 2*h_out+2 rows by
+        # 2*w_out+2 cols here (even H/W, pad 1), so each phase is
+        # exactly h_out+1 by w_out+1.
+        hs = 4 * (rh + 1)
+        ws = w_out + 1
     # VMEM per image in a grid step: input slab + z block (x2 for
     # pipelining) + 4 state blocks + 2 state scratches + fp32 acc.
     esize = x_seq.dtype.itemsize
@@ -457,19 +500,35 @@ def _spiking_conv_seq_impl(x_seq, w, a, b, v0, i0, cell, stride, interpret):
         + 6 * rh * w_out * cpad * ssize
         + 4 * rh * w_out * cpad
     )
-    nb = _pick_nb(N, per_image)
+    nb = _pick_nb(N, per_image, rh * w_out * cpad * 4)
     # Pre-gather halo slabs: [T, N, HB, hs, ws, Cin]. Costs one extra
     # ~(hs/rh)x pass over x in HBM but lets every operand use a plain
     # blocked spec — Pallas double-buffers the DMAs itself (manual HBM
     # slices of tiled memrefs are rejected by Mosaic).
-    if hb > 1 or hs != xp.shape[2]:
-        slabs = jnp.stack(
-            [xp[:, :, i * rh * stride: i * rh * stride + hs]
-             for i in range(hb)],
+    if stride == 1:
+        if hb > 1 or hs != xp.shape[2]:
+            slabs = jnp.stack(
+                [xp[:, :, i * rh: i * rh + hs] for i in range(hb)],
+                axis=2,
+            )
+        else:
+            slabs = xp[:, :, None]
+    else:
+        # [T, N, 4, h_out+1, w_out+1, cin] phase decomposition, then
+        # per-h-block slabs of rh+1 phase rows folded to one row axis
+        phases = jnp.stack(
+            [xp[:, :, pa::2, pb::2] for pa in (0, 1) for pb in (0, 1)],
             axis=2,
         )
-    else:
-        slabs = xp[:, :, None]
+        slabs = jnp.stack(
+            [
+                phases[:, :, :, i * rh: i * rh + rh + 1].reshape(
+                    T, N, hs, ws, cin
+                )
+                for i in range(hb)
+            ],
+            axis=2,
+        )
     grid = (N // nb, hb, T)
 
     state_spec = pl.BlockSpec(

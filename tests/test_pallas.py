@@ -90,7 +90,7 @@ def _unfused_reference(x_seq, w, a, b, v0, i0, cell, stride):
 
 @pytest.mark.parametrize("k,stride,cell", [
     (3, 1, "lif"), (3, 2, "lif"), (1, 1, "lif"),
-    (3, 2, "li"), (1, 1, "li"),
+    (3, 2, "li"), (1, 1, "li"), (1, 2, "lif"),
 ])
 def test_spiking_conv_seq_matches_unfused(rng, k, stride, cell):
     T, N, H, W, cin, cout = 4, 2, 12, 19, 8, 16  # odd W: edge cols
@@ -121,7 +121,7 @@ def test_spiking_conv_seq_multi_image_blocks(rng):
     from snn_for_object_detection_tpu.ops import pallas_kernels as pk
 
     T, N, H, W, cin, cout = 3, 4, 8, 9, 8, 8
-    nb = pk._pick_nb(N, bytes_per_image=1024)
+    nb = pk._pick_nb(N, bytes_per_image=1024, acc_bytes_per_image=1024)
     assert nb == 4  # the budget comfortably fits all four images
     x = jnp.asarray(rng.random((T, N, H, W, cin)) < 0.3, jnp.float32)
     w = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.2, jnp.float32)
