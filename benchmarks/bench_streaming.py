@@ -63,16 +63,20 @@ def main():
     float(dets[..., 1].sum())
     per_frame_e2e = (time.perf_counter() - t0) / CHAIN
 
-    # whole-network B=1 megakernel (ops/megakernel.py): one fused
-    # Pallas program per frame, weights + folded BN + neuron state
-    # resident in VMEM
+    # whole-network B=1 megakernel (ops/megakernel.py): the whole net
+    # emitted as one program per frame (folded BN, flat state slots).
+    # Production mode is the XLA body — the monolithic Pallas mode
+    # cannot express the stride-2 downsamples on current Mosaic
+    # (strided slices lower to >2D gathers, and every reshape-based
+    # phase split crashes the compiler at frame scale; docs/perf.md
+    # "B=1 streaming megakernel").
     mega = {}
     try:
         from snn_for_object_detection_tpu.ops.megakernel import (
             StreamingMegakernel,
         )
 
-        mk = StreamingMegakernel(model, params, stats, use_pallas=True)
+        mk = StreamingMegakernel(model, params, stats, use_pallas=False)
         st = None
         dets, st = mk.predict(frames[0, 0], st)   # compile
         float(dets[..., 1].sum())  # host fetch = reliable sync
@@ -82,6 +86,23 @@ def main():
             dets, st = mk.predict(frames[t, 0], st)
         float(dets[..., 1].sum())
         mega["megakernel_e2e_ms"] = round(
+            (time.perf_counter() - t0) / CHAIN * 1e3, 2
+        )
+
+        # device time: chain the per-frame program in one dispatch
+        def mk_chain(frames, sv):
+            def body(sv, x):
+                dets, sv = mk._predict_impl(x, sv, 300)
+                return sv, dets[..., 1].sum()
+            sv, sums = jax.lax.scan(body, sv, frames[:, 0])
+            return sums.sum()
+
+        mk_chained = jax.jit(mk_chain)
+        sv0 = mk._flat_state(None)
+        float(mk_chained(frames, sv0))  # compile
+        t0 = time.perf_counter()
+        float(mk_chained(frames, sv0))
+        mega["megakernel_device_ms"] = round(
             (time.perf_counter() - t0) / CHAIN * 1e3, 2
         )
     except Exception as e:

@@ -401,6 +401,9 @@ class StreamingMegakernel:
 
     def _run_pallas(self, x, state_vals):
         b = self._b
+        # Cast the frame outside the kernel: Mosaic has no uint8 ->
+        # bfloat16 cast, and callers feed raw uint8 event frames.
+        x = x.astype(b.compute_dtype)
         n_p, n_s = len(b.param_vals), len(b.state_slots)
         out_maps_shapes = []
         # trace shapes once via eval_shape on the XLA body

@@ -112,6 +112,23 @@ def test_megakernel_predict_matches_model_predict(rng):
         )
 
 
+def test_megakernel_uint8_frames(rng):
+    """Raw uint8 event frames (the production streaming input) must
+    work on the Pallas path: the cast to compute dtype has to happen
+    outside the kernel (Mosaic has no uint8 -> bf16 cast)."""
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=0,
+                      compute_dtype=jnp.bfloat16)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    x8 = jnp.asarray(rng.random((32, 40, 2)) < 0.25, jnp.uint8)
+    mk = StreamingMegakernel(model, params, stats, use_pallas=True)
+    (c, b), st = mk.step(x8)
+    (c_ref, b_ref), st_ref = mk.step(x8.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_megakernel_bf16_states(rng):
     """state_dtype=bf16 round-trips through the slot packing."""
     model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=0,
