@@ -35,7 +35,11 @@ def main():
         "/tmp/synth_1mpx", dataset="1mpx", records_per_split=2,
         duration_ms=1500, height=720, width=1280, num_classes=7,
     )
-    model = TinyYolo(num_classes=7, in_hw=(720, 1280), time_window=4)
+    # bf16 compute + states: the documented 1Mpx training configuration
+    # (docs/perf.md "1Mpx training readiness") — fp32 states OOM at
+    # 720p (21.4G needed vs 15.75G HBM, measured).
+    model = TinyYolo(num_classes=7, in_hw=(720, 1280), time_window=4,
+                     compute_dtype="bfloat16", state_dtype="bfloat16")
     dm = PropheseeDataModule(
         data_dir=root, dataset="1mpx", batch_size=2, num_workers=2,
         num_load_file=2, num_steps=12, time_step=16, time_shift=4,
