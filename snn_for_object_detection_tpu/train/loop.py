@@ -131,6 +131,10 @@ class Trainer:
         self.out_dir = out_dir
         self.seed = seed
         self._mesh = mesh  # user-provided; else sized lazily per batch
+        # live mesh reshape (ROADMAP "live mesh reshape"): queued via
+        # request_mesh_reshape() or an out_dir/reshape_request file,
+        # applied at the next epoch boundary without restart
+        self._pending_mesh = None
         self.debug_nans = debug_nans
         self.profile_dir = profile_dir
         self.gradient_clip_norm = gradient_clip_norm
@@ -219,6 +223,60 @@ class Trainer:
         if self._mesh is None:
             self._mesh = make_mesh()
         return self._mesh
+
+    # ------------------------------------------------------------------
+    # live mesh reshape (no checkpoint + relaunch)
+    # ------------------------------------------------------------------
+
+    def request_mesh_reshape(self, devices=None, num_devices=None):
+        """Queue a data-parallel mesh change, applied at the next epoch
+        boundary of a running ``fit`` — params/opt state are re-placed
+        with ``device_put`` and the jitted steps rebuilt in-process,
+        with no checkpoint round trip. Callable from another thread
+        (a cluster-health watcher) or before ``fit``.
+
+        The alternative trigger for external supervisors
+        (scripts/supervise.py): write the target device count to
+        ``out_dir/reshape_request``; the file is consumed at the next
+        epoch boundary.
+        """
+        if devices is None:
+            if num_devices is None:
+                raise ValueError("pass devices or num_devices")
+            devices = jax.devices()[:num_devices]
+        self._pending_mesh = make_mesh(devices)
+
+    def _poll_mesh_reshape(self, batch_size: int) -> bool:
+        """Apply a queued reshape if valid; returns True on change."""
+        req = os.path.join(self.out_dir, "reshape_request")
+        if self._pending_mesh is None and os.path.exists(req):
+            try:
+                with open(req) as f:
+                    n = int(f.read().strip())
+                self.request_mesh_reshape(num_devices=n)
+            except (ValueError, IndexError) as e:
+                print(f"[trainer] bad reshape_request ignored: {e}",
+                      flush=True)
+            finally:
+                os.remove(req)
+        new = self._pending_mesh
+        self._pending_mesh = None
+        if new is None or new.shape == self.mesh.shape:
+            return False
+        if batch_size % new.size:
+            print(
+                f"[trainer] reshape to {new.size} devices ignored: "
+                f"batch {batch_size} not divisible",
+                flush=True,
+            )
+            return False
+        print(
+            f"[trainer] live mesh reshape: {self.mesh.size} -> "
+            f"{new.size} devices",
+            flush=True,
+        )
+        self._mesh = new
+        return True
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -488,6 +546,21 @@ class Trainer:
                             flush=True,
                         )
                         break
+
+                # ---- live mesh reshape (epoch boundary) ----
+                if self._poll_mesh_reshape(data.batch_size):
+                    rep = replicated(self.mesh)
+                    params, opt_state, stats = jax.device_put(
+                        (params, opt_state, stats), rep
+                    )
+                    optimizer, jit_train, jit_eval = self._build_steps(
+                        model
+                    )
+                    train_iter.close()
+                    train_iter = prefetch_to_device(
+                        data.train_loader(), self.mesh,
+                        self.prefetch_batches,
+                    )
 
         finally:
             # stop prefetch + loader worker threads even when the

@@ -285,6 +285,53 @@ def test_resume_across_device_counts(synth_root, tmp_path):
     ).all()
 
 
+def test_live_mesh_reshape(synth_root, tmp_path):
+    """Live data-parallel mesh reshape WITHOUT checkpoint + relaunch
+    (ROADMAP): queue 8 -> 4 devices before fit; the trainer re-places
+    params/opt state and rebuilds its jitted steps at the first epoch
+    boundary, and training continues on the smaller mesh in-process."""
+    out = str(tmp_path / "live_reshape")
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+    trainer = Trainer(max_epochs=2, limit_train_batches=2,
+                      limit_val_batches=1, check_val_every_n_epoch=5,
+                      out_dir=out, seed=0)
+    trainer.request_mesh_reshape(num_devices=4)
+    result = trainer.fit(model, make_dm(synth_root, batch_size=8))
+    assert trainer.mesh.devices.size == 4  # applied after epoch 1
+    assert result["step"] == 4  # both epochs ran, no restart
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(result["params"])[0])
+    ).all()
+
+
+def test_live_mesh_reshape_file_trigger(synth_root, tmp_path):
+    """External supervisors trigger the same reshape by writing the
+    target device count to out_dir/reshape_request; an indivisible
+    count is ignored with a warning and the file is consumed."""
+    out = str(tmp_path / "file_reshape")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "reshape_request"), "w") as f:
+        f.write("2")
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+    trainer = Trainer(max_epochs=2, limit_train_batches=1,
+                      limit_val_batches=1, check_val_every_n_epoch=5,
+                      out_dir=out, seed=0)
+    result = trainer.fit(model, make_dm(synth_root, batch_size=4))
+    assert trainer.mesh.devices.size == 2
+    assert not os.path.exists(os.path.join(out, "reshape_request"))
+    assert result["step"] == 2
+
+    # indivisible request: ignored, training unaffected
+    with open(os.path.join(out, "reshape_request"), "w") as f:
+        f.write("3")
+    trainer2 = Trainer(max_epochs=1, limit_train_batches=1,
+                       limit_val_batches=1, check_val_every_n_epoch=5,
+                       out_dir=out, seed=0)
+    trainer2.fit(model, make_dm(synth_root, batch_size=4))
+    assert trainer2.mesh.devices.size in (4, 8)  # unchanged by bad req
+    assert not os.path.exists(os.path.join(out, "reshape_request"))
+
+
 def test_optimizer_and_lr_schedule_options(synth_root, tmp_path):
     """Trainer optimizer/lr_schedule config surface (beyond the
     reference's fixed Adamax): named optax factories and warmup-cosine
