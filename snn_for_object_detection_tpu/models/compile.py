@@ -56,6 +56,12 @@ class Ctx:
     # fp32-accumulation order differs from the XLA conv, so spikes can
     # flip on ~0.2% of near-threshold pixels — opt-in).
     fuse: bool = False
+    # int8 PTQ calibration pass (static bool, offline only): every conv
+    # reports its input absmax in its returned stats dict under
+    # "in_absmax" so ops/quantize.calibrate can collect per-layer
+    # activation ranges. Not compatible with lax.scan carries (the
+    # stats structure changes), so calibration drives ``model.step``.
+    calibrate: bool = False
 
 
 @dataclasses.dataclass
@@ -251,6 +257,34 @@ def _compile_leaf(
             return {"w": _kaiming_conv_init(key, (k, k, in_ch, out))}
 
         def apply(params, stats, state, x, ctx, s=s, pad=pad):
+            if "w_q" in params:
+                # int8 PTQ path (ops/quantize.py): per-tensor input
+                # scale, per-output-channel weight scale, int8xint8 ->
+                # int32 conv on the MXU. The quant chain stays in the
+                # activation dtype (mul+round+clip+cast fuse into ONE
+                # elementwise pass; TPU convs are custom-calls, so
+                # these passes cannot fuse into the conv itself and
+                # their byte traffic is the whole PTQ overhead).
+                inv = (1.0 / params["x_scale"]).astype(x.dtype)
+                q_x = jnp.clip(
+                    jnp.round(x * inv), -127, 127
+                ).astype(jnp.int8)
+                y = jax.lax.conv_general_dilated(
+                    q_x, params["w_q"],
+                    window_strides=(s, s),
+                    padding=[(pad, pad), (pad, pad)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                scale = (
+                    params["x_scale"] * params["w_scale"]
+                ).astype(x.dtype)
+                return y.astype(x.dtype) * scale, stats, state
+            if ctx.calibrate:
+                stats = dict(stats)
+                stats["in_absmax"] = jnp.max(
+                    jnp.abs(x.astype(jnp.float32))
+                )
             return _conv2d(x, params["w"], s, pad), stats, state
 
         return CompiledBlock(out, out_hw, init, _empty_stats, _empty_state,
@@ -760,6 +794,9 @@ def compile_block(
                 while li < len(layers):
                     grp = plan.get(li) if (
                         ctx.fuse and not ctx.train and ctx.step_mask is None
+                        # int8-PTQ convs (no "w" key) can't feed the
+                        # fused fp kernel — fall through to per-layer
+                        and "w" in p_b[f"l{li}"]
                     ) else None
                     if grp is not None and not (grp[2] and ctx.record):
                         eps, cell, _, stride = grp

@@ -251,10 +251,14 @@ class SODa:
         x: Array,
         train: bool = False,
         record: bool = False,
+        calibrate: bool = False,
     ) -> Tuple[Tuple[Array, Array], Any, Any, Dict[str, Any]]:
         """One time step: frame [B, H, W, C] -> (cls_preds [B, A, C+1],
-        bbox_preds [B, A, 4]), new stats, new state, records."""
-        ctx = C.Ctx(train=train, record=record)
+        bbox_preds [B, A, 4]), new stats, new state, records.
+
+        ``calibrate`` (offline int8-PTQ pass, ops/quantize.py): every
+        conv adds its input absmax to its returned stats dict."""
+        ctx = C.Ctx(train=train, record=record, calibrate=calibrate)
         base_outs, new_stats, new_state = self._trunk(
             params, stats, state, x, ctx
         )

@@ -205,7 +205,13 @@ def _emit_leaf(b: _Builder, layer, in_ch, in_hw, lpath):
             raise UnsupportedLayer(f"Conv k={k} s={s} at {lpath}")
         pad = k // 2
         out_hw = tuple((d + 2 * pad - k) // s + 1 for d in in_hw)
-        w_arr = b._lookup(b.params_tree, lpath)["w"]
+        leaf = b._lookup(b.params_tree, lpath)
+        if "w_q" in leaf:
+            # int8-PTQ leaf (ops/quantize.py): the megakernel runs fp
+            # tap matmuls, so rebuild the fp weights at build time
+            w_arr = leaf["w_q"].astype(jnp.float32) * leaf["w_scale"]
+        else:
+            w_arr = leaf["w"]
         taps_arr = jnp.asarray(w_arr).astype(cdt).reshape(k * k, in_ch, out)
         pi = b.add_param(taps_arr)
 
