@@ -34,6 +34,8 @@ MODULES = [
     "snn_for_object_detection_tpu.ops.matching",
     "snn_for_object_detection_tpu.ops.nms",
     "snn_for_object_detection_tpu.ops.pallas_kernels",
+    "snn_for_object_detection_tpu.ops.megakernel",
+    "snn_for_object_detection_tpu.ops.quantize",
     "snn_for_object_detection_tpu.data.prophesee",
     "snn_for_object_detection_tpu.data.psee",
     "snn_for_object_detection_tpu.data.rasterize",
