@@ -152,3 +152,19 @@ def test_threshold_filters(setup):
     for t in range(model.time_window + 2):
         out = eng.step({"a": frame(t)})
     assert out["a"].shape[0] == 0  # conf is a probability < 2.0
+
+
+def test_int8_quantized_params(setup):
+    """int8-PTQ params (ops/quantize.py) serve through the engine: the
+    deployment combination the README advertises."""
+    from snn_for_object_detection_tpu.ops import quantize as Q
+
+    model, params, stats = setup
+    X = np.stack([np.stack([frame(t), frame(50 + t)]) for t in range(4)])
+    absmax = Q.calibrate(model, params, stats, jax.numpy.asarray(X))
+    qparams = Q.quantize(params, absmax)
+    eng = StreamingEngine(model, qparams, stats, capacity=2)
+    eng.add_stream("a")
+    for t in range(4):
+        out = eng.step({"a": frame(t)})
+        assert out["a"].shape[1] == 6 and np.isfinite(out["a"]).all()
