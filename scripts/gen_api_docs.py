@@ -42,6 +42,7 @@ MODULES = [
     "snn_for_object_detection_tpu.data.synthetic",
     "snn_for_object_detection_tpu.data.augment",
     "snn_for_object_detection_tpu.serve",
+    "snn_for_object_detection_tpu.export",
     "snn_for_object_detection_tpu.train.loop",
     "snn_for_object_detection_tpu.train.metrics",
     "snn_for_object_detection_tpu.train.checkpoint",

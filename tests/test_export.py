@@ -1,0 +1,63 @@
+"""StableHLO deployment export (snn_for_object_detection_tpu/export.py).
+
+Round-trips the streaming predict step through serialize/deserialize
+and pins: detections match the live model bit-for-bit, the carried
+state survives across frames, and reset() restarts the stream.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snn_for_object_detection_tpu.export import export_predict, load_predict
+from tests.test_detector import MicroSODa
+
+H, W = 32, 40
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    model = MicroSODa(num_classes=2, in_hw=(H, W), time_window=0)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path_factory.mktemp("export") / "predict.stablehlo")
+    export_predict(model, params, stats, path)
+    return model, params, stats, path
+
+
+def frames(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.random((n, 1, H, W, 2)) < 0.25).astype(np.uint8)
+
+
+def test_roundtrip_matches_live_model(setup):
+    model, params, stats, path = setup
+    runner = load_predict(path)
+    state = model.init_state(1)
+    for x in frames(4):
+        dets_live, state = model.predict(
+            params, stats, jnp.asarray(x), state
+        )
+        dets_exp = runner(x)
+        np.testing.assert_array_equal(
+            np.asarray(dets_live), np.asarray(dets_exp)
+        )
+
+
+def test_reset_restarts_stream(setup):
+    model, params, stats, path = setup
+    runner = load_predict(path)
+    first = [np.asarray(runner(x)) for x in frames(3, seed=1)]
+    runner.reset()
+    second = [np.asarray(runner(x)) for x in frames(3, seed=1)]
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_loads_without_model_code(setup):
+    """The blob is self-contained: loading touches only jax.export."""
+    _, _, _, path = setup
+    runner = load_predict(path)
+    out = runner(frames(1)[0])
+    assert out.shape[0] == 1 and out.shape[-1] == 6
+    assert np.isfinite(np.asarray(out)).all()
