@@ -54,6 +54,22 @@ def test_reset_restarts_stream(setup):
         np.testing.assert_array_equal(a, b)
 
 
+def test_int8_quantized_model_exports(setup, tmp_path):
+    """Feature composition: an int8-PTQ params tree exports and serves
+    through the same blob path (int8 convs serialize fine)."""
+    from snn_for_object_detection_tpu.ops import quantize as Q
+
+    model, params, stats, _ = setup
+    X = jnp.asarray(frames(4).transpose(0, 1, 2, 3, 4), jnp.float32)
+    qparams = Q.quantize(params, Q.calibrate(model, params, stats, X))
+    path = str(tmp_path / "q.stablehlo")
+    export_predict(model, qparams, stats, path)
+    runner = load_predict(path)
+    dets = runner(frames(1)[0])
+    assert dets.shape[-1] == 6
+    assert np.isfinite(np.asarray(dets)).all()
+
+
 def test_loads_without_model_code(setup):
     """The blob is self-contained: loading touches only jax.export."""
     _, _, _, path = setup
