@@ -39,7 +39,10 @@ def main():
     parser.add_argument("out")
     parser.add_argument("--config", action="append",
                         default=None)
-    parser.add_argument("--batch-size", type=int, default=1)
+    # default: symbolic batch "b" — one blob serves any camera count;
+    # pass an integer for a fixed-shape program
+    parser.add_argument("--batch-size", default="b",
+                        type=lambda s: int(s) if s.isdigit() else s)
     args, overrides = parser.parse_known_args()
 
     cfg = load_config(args.config or ["config/config.yaml"], overrides)

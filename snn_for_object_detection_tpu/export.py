@@ -28,14 +28,21 @@ from jax import export as jax_export
 
 
 def export_predict(model, params, stats, path: str,
-                   batch_size: int = 1,
+                   batch_size: int | str = "b",
                    platforms=("cpu", "tpu")) -> None:
     """Serialize ``model.predict`` (one frame + carried state) with
     the given weights baked in. Lowered for every platform in
     ``platforms`` so one blob serves CPU smoke tests and TPU
-    production alike. Returns nothing; writes ``path``."""
-    state0 = model.init_state(batch_size)
+    production alike. ``batch_size`` may be an int (fixed-shape
+    program) or a dimension name like ``"b"`` (symbolic batch: ONE
+    blob serves any camera count — the multi-stream serving shapes
+    without re-export). Returns nothing; writes ``path``."""
+    state0 = model.init_state(1)
     leaves, treedef = jax.tree_util.tree_flatten(state0)
+    if isinstance(batch_size, str):
+        (bdim,) = jax_export.symbolic_shape(batch_size)
+    else:
+        bdim = batch_size
 
     def fn(x, *state_leaves):
         st = jax.tree_util.tree_unflatten(treedef, state_leaves)
@@ -44,9 +51,10 @@ def export_predict(model, params, stats, path: str,
 
     h, w = model.in_hw
     args = (
-        jax.ShapeDtypeStruct((batch_size, h, w, model.in_channels),
+        jax.ShapeDtypeStruct((bdim, h, w, model.in_channels),
                              jnp.uint8),
-        *(jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves),
+        *(jax.ShapeDtypeStruct((bdim,) + l.shape[1:], l.dtype)
+          for l in leaves),
     )
     exp = jax_export.export(jax.jit(fn), platforms=list(platforms))(*args)
     with open(path, "wb") as f:
@@ -59,18 +67,28 @@ class _Runner:
     def __init__(self, exp):
         self._exp = exp
         self._state_avals = exp.in_avals[1:]
-        self.reset()
+        self.state = None
 
     def reset(self) -> None:
         """Zero the recurrent state (stream gap / new camera)."""
-        self.state = [
-            jnp.zeros(a.shape, a.dtype) for a in self._state_avals
-        ]
+        self.state = None
+
+    @staticmethod
+    def _shape(aval, b):
+        # symbolic batch dims are non-int objects; concretize with the
+        # incoming frame's batch
+        return tuple(d if isinstance(d, int) else b for d in aval.shape)
 
     def __call__(self, frame: Any):
         """frame [B, H, W, C] uint8 -> detections [B, K, 6]
         (class, conf, x1, y1, x2, y2; class −1 = padding)."""
-        out = self._exp.call(jnp.asarray(frame, jnp.uint8), *self.state)
+        frame = jnp.asarray(frame, jnp.uint8)
+        if self.state is None or self.state[0].shape[0] != frame.shape[0]:
+            self.state = [
+                jnp.zeros(self._shape(a, frame.shape[0]), a.dtype)
+                for a in self._state_avals
+            ]
+        out = self._exp.call(frame, *self.state)
         self.state = list(out[1:])
         return out[0]
 

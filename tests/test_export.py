@@ -77,3 +77,21 @@ def test_loads_without_model_code(setup):
     out = runner(frames(1)[0])
     assert out.shape[0] == 1 and out.shape[-1] == 6
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_symbolic_batch_serves_any_camera_count(setup):
+    """The default export has a symbolic batch: one blob serves B=1
+    and B=3 (multi-camera) without re-export, and the batched stream
+    matches per-stream results."""
+    model, params, stats, path = setup
+    runner = load_predict(path)
+    rng = np.random.default_rng(3)
+    seq = (rng.random((4, 3, H, W, 2)) < 0.25).astype(np.uint8)
+    for x in seq:
+        batched = np.asarray(runner(x))
+    assert batched.shape[0] == 3
+    # per-stream replay of camera 1 matches its row in the batch
+    runner.reset()
+    for x in seq:
+        single = np.asarray(runner(x[1:2]))
+    np.testing.assert_array_equal(single[0], batched[1])
