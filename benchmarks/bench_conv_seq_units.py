@@ -44,14 +44,7 @@ UNITS = [
 ]
 
 
-def timeit(fn, *args, reps=10):
-    out = fn(*args)
-    float(jax.tree.leaves(out)[0].sum())  # host fetch = reliable sync
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    float(jax.tree.leaves(out)[0].sum())
-    return (time.perf_counter() - t0) / reps
+from benchmarks._util import timeit  # noqa: E402  (shared protocol)
 
 
 def xla_unit(x_seq, w, a, b, v0, i0, cell, stride):

@@ -36,16 +36,7 @@ from snn_for_object_detection_tpu.models import TinyYolo
 H, W = 240, 304
 
 
-def timeit(fn, *args, reps=10):
-    # Sync via a host fetch of the scalar output: on the tunneled dev
-    # platform block_until_ready returns before execution finishes, so
-    # fetching the value is the only reliable barrier (bench.py does
-    # the same).
-    float(fn(*args))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(reps)]
-    float(outs[-1])
-    return (time.perf_counter() - t0) / reps
+from benchmarks._util import timeit  # noqa: E402  (shared protocol)
 
 
 def main():

@@ -37,12 +37,7 @@ from snn_for_object_detection_tpu.train.checkpoint import load_single
 H, W = 240, 304
 
 
-def timeit(fn, *args, reps=10):
-    float(fn(*args))  # compile + host-fetch sync (tunnel-reliable)
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(reps)]
-    float(outs[-1])
-    return (time.perf_counter() - t0) / reps
+from benchmarks._util import timeit  # noqa: E402  (shared protocol)
 
 
 def main():

@@ -38,12 +38,7 @@ BAND = 16          # input rows per band (8 output rows at stride 2)
 NB = H // BAND     # 15 bands
 
 
-def timeit(fn, *args, reps=10):
-    float(fn(*args))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(reps)]
-    float(outs[-1])
-    return (time.perf_counter() - t0) / reps
+from benchmarks._util import timeit  # noqa: E402  (shared protocol)
 
 
 def dense_unit(x, w, a, b, v0):

@@ -81,13 +81,25 @@ class _Runner:
 
     def __call__(self, frame: Any):
         """frame [B, H, W, C] uint8 -> detections [B, K, 6]
-        (class, conf, x1, y1, x2, y2; class −1 = padding)."""
+        (class, conf, x1, y1, x2, y2; class −1 = padding).
+
+        The batch axis is the set of live streams; changing B would
+        invalidate every stream's carried state, so a mid-stream B
+        change raises — call :meth:`reset` first (or manage slot
+        re-packing externally, e.g. via ``serve.StreamingEngine``)."""
         frame = jnp.asarray(frame, jnp.uint8)
-        if self.state is None or self.state[0].shape[0] != frame.shape[0]:
+        if self.state is None:
             self.state = [
                 jnp.zeros(self._shape(a, frame.shape[0]), a.dtype)
                 for a in self._state_avals
             ]
+        elif self.state[0].shape[0] != frame.shape[0]:
+            raise ValueError(
+                f"batch changed {self.state[0].shape[0]} -> "
+                f"{frame.shape[0]} mid-stream; this would silently "
+                "zero every stream's recurrent state — call reset() "
+                "to start over, or keep the batch constant"
+            )
         out = self._exp.call(frame, *self.state)
         self.state = list(out[1:])
         return out[0]

@@ -276,10 +276,11 @@ def _compile_leaf(
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     preferred_element_type=jnp.int32,
                 )
-                scale = (
-                    params["x_scale"] * params["w_scale"]
-                ).astype(x.dtype)
-                return y.astype(x.dtype) * scale, stats, state
+                # dequant in fp32 (int32 acc × f32 scale), cast last:
+                # same fused single pass and byte traffic, but the
+                # accumulator's precision isn't rounded to bf16 first
+                scale = params["x_scale"] * params["w_scale"]
+                return (y * scale).astype(x.dtype), stats, state
             if ctx.calibrate:
                 stats = dict(stats)
                 stats["in_absmax"] = jnp.max(

@@ -243,11 +243,28 @@ class Trainer:
         if devices is None:
             if num_devices is None:
                 raise ValueError("pass devices or num_devices")
-            devices = jax.devices()[:num_devices]
+            avail = jax.devices()
+            if not 1 <= num_devices <= len(avail):
+                raise ValueError(
+                    f"num_devices must be in [1, {len(avail)}], "
+                    f"got {num_devices}"
+                )
+            devices = avail[:num_devices]
+        if len(devices) < 1:
+            raise ValueError("reshape needs at least one device")
         self._pending_mesh = make_mesh(devices)
 
     def _poll_mesh_reshape(self, batch_size: int) -> bool:
         """Apply a queued reshape if valid; returns True on change."""
+        if dist.is_distributed():
+            # Per-process file triggers / device prefixes cannot stay
+            # coherent across hosts (diverged meshes hang collectives);
+            # multi-host elasticity goes through checkpoint + relaunch.
+            if self._pending_mesh is not None:
+                print("[trainer] live reshape ignored under multi-host; "
+                      "use checkpoint + relaunch", flush=True)
+                self._pending_mesh = None
+            return False
         req = os.path.join(self.out_dir, "reshape_request")
         if self._pending_mesh is None and os.path.exists(req):
             try:
@@ -257,8 +274,12 @@ class Trainer:
             except (ValueError, IndexError) as e:
                 print(f"[trainer] bad reshape_request ignored: {e}",
                       flush=True)
-            finally:
+            except OSError:
+                pass  # supervisor rewrote/removed it mid-poll; next epoch
+            try:
                 os.remove(req)
+            except OSError:
+                pass
         new = self._pending_mesh
         self._pending_mesh = None
         if new is None or new.shape == self.mesh.shape:
@@ -468,6 +489,23 @@ class Trainer:
 
             t_epoch = time.time()
             while self.max_epochs < 0 or epoch < self.max_epochs:
+                # ---- live mesh reshape (checked BEFORE the epoch so
+                # a request queued during the final epoch never spins
+                # up a loader pipeline that nothing consumes) ----
+                if self._poll_mesh_reshape(data.batch_size):
+                    rep = replicated(self.mesh)
+                    params, opt_state, stats = jax.device_put(
+                        (params, opt_state, stats), rep
+                    )
+                    optimizer, jit_train, jit_eval = self._build_steps(
+                        model
+                    )
+                    train_iter.close()
+                    train_iter = prefetch_to_device(
+                        data.train_loader(), self.mesh,
+                        self.prefetch_batches,
+                    )
+
                 # ---- one train epoch ----
                 losses = []
                 for _ in range(self.limit_train_batches):
@@ -546,21 +584,6 @@ class Trainer:
                             flush=True,
                         )
                         break
-
-                # ---- live mesh reshape (epoch boundary) ----
-                if self._poll_mesh_reshape(data.batch_size):
-                    rep = replicated(self.mesh)
-                    params, opt_state, stats = jax.device_put(
-                        (params, opt_state, stats), rep
-                    )
-                    optimizer, jit_train, jit_eval = self._build_steps(
-                        model
-                    )
-                    train_iter.close()
-                    train_iter = prefetch_to_device(
-                        data.train_loader(), self.mesh,
-                        self.prefetch_batches,
-                    )
 
         finally:
             # stop prefetch + loader worker threads even when the

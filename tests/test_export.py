@@ -60,7 +60,7 @@ def test_int8_quantized_model_exports(setup, tmp_path):
     from snn_for_object_detection_tpu.ops import quantize as Q
 
     model, params, stats, _ = setup
-    X = jnp.asarray(frames(4).transpose(0, 1, 2, 3, 4), jnp.float32)
+    X = jnp.asarray(frames(4), jnp.float32)
     qparams = Q.quantize(params, Q.calibrate(model, params, stats, X))
     path = str(tmp_path / "q.stablehlo")
     export_predict(model, qparams, stats, path)
@@ -91,6 +91,9 @@ def test_symbolic_batch_serves_any_camera_count(setup):
         batched = np.asarray(runner(x))
     assert batched.shape[0] == 3
     # per-stream replay of camera 1 matches its row in the batch
+    # a mid-stream batch change is refused (it would zero live states)
+    with pytest.raises(ValueError, match="batch changed"):
+        runner(seq[0][:1])
     runner.reset()
     for x in seq:
         single = np.asarray(runner(x[1:2]))
