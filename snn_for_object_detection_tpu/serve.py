@@ -51,6 +51,7 @@ class StreamingEngine:
         capacity: int = 32,
         max_out: int = 300,
         threshold: float = 0.0,
+        mesh: Optional[Any] = None,
     ):
         """
         :param model: A :class:`SODa` detector.
@@ -63,6 +64,14 @@ class StreamingEngine:
             class −1 for empty).
         :param threshold: Confidence floor applied in the host fan-out
             (0 keeps every foreground row).
+        :param mesh: Optional :class:`jax.sharding.Mesh` — serving
+            scale-OUT: the slot/batch axis (frames + every recurrent
+            state row) is sharded over the mesh's devices, weights are
+            replicated, and GSPMD runs each chip's slice of the
+            cameras locally (no per-step collectives in the trunk:
+            the computation is batch-parallel). ``capacity`` must
+            divide by the mesh size; N chips serve ~N× the cameras of
+            one chip.
         """
         self.model = model
         self.capacity = int(capacity)
@@ -86,9 +95,31 @@ class StreamingEngine:
             return model.predict(params, stats, frames, state,
                                  max_out=max_out)
 
-        # donate the carried state: the update happens in place on
-        # device, so the state buffer never doubles in HBM
-        self._jit_step = jax.jit(_step, donate_argnums=(3,))
+        if mesh is not None:
+            from snn_for_object_detection_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated,
+            )
+
+            if self.capacity % mesh.size:
+                raise ValueError(
+                    f"capacity {self.capacity} must divide by the "
+                    f"mesh size {mesh.size}"
+                )
+            rep = replicated(mesh)
+            row = batch_sharding(mesh, 0)
+            self._state = jax.device_put(self._state, row)
+            self._zero_row = jax.device_put(self._zero_row, rep)
+            # donate the carried state: the update happens in place on
+            # device, so the state buffer never doubles in HBM
+            self._jit_step = jax.jit(
+                _step,
+                in_shardings=(rep, rep, row, row),
+                out_shardings=(row, row),
+                donate_argnums=(3,),
+            )
+        else:
+            self._jit_step = jax.jit(_step, donate_argnums=(3,))
 
         def _reset_row(state, zero_row, idx):
             return jax.tree_util.tree_map(

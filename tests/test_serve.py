@@ -154,6 +154,33 @@ def test_threshold_filters(setup):
     assert out["a"].shape[0] == 0  # conf is a probability < 2.0
 
 
+def test_sharded_engine_matches_single_device(setup):
+    """Serving scale-out: the same streams on an 8-device sharded
+    engine produce the detections of the unsharded engine (the batch
+    axis is embarrassingly parallel; weights replicated)."""
+    from snn_for_object_detection_tpu.parallel.mesh import make_mesh
+
+    model, params, stats = setup
+    mesh = make_mesh()
+    assert mesh.size == 8  # conftest's virtual CPU mesh
+    eng_a = StreamingEngine(model, params, stats, capacity=8)
+    eng_b = StreamingEngine(model, params, stats, capacity=8, mesh=mesh)
+    for eng in (eng_a, eng_b):
+        eng.add_stream("a")
+        eng.add_stream("b")
+    for t in range(model.time_window + 3):
+        fa = {"a": frame(t), "b": frame(100 + t)}
+        out_a = eng_a.step(fa)
+        out_b = eng_b.step(fa)
+        for sid in ("a", "b"):
+            np.testing.assert_allclose(
+                out_a[sid], out_b[sid], rtol=1e-5, atol=1e-6
+            )
+
+    with pytest.raises(ValueError, match="divide"):
+        StreamingEngine(model, params, stats, capacity=6, mesh=mesh)
+
+
 def test_int8_quantized_params(setup):
     """int8-PTQ params (ops/quantize.py) serve through the engine: the
     deployment combination the README advertises."""
