@@ -14,6 +14,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# Checkpoint surgery is host-side work — run on CPU so the script
+# works without a live accelerator (and regardless of tunnel health).
+jax.config.update("jax_platforms", "cpu")
+
 from snn_for_object_detection_tpu.train.checkpoint import (
     load_single,
     save_single,

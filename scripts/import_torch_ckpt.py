@@ -206,6 +206,11 @@ def load_lightning_state_dict(path: str) -> dict:
 
 
 def main(argv=None):
+    import jax
+
+    # Checkpoint conversion is host-side work — run on CPU so the
+    # script works without a live accelerator.
+    jax.config.update("jax_platforms", "cpu")
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) < 2:
         print(__doc__)

@@ -51,3 +51,39 @@ def test_plot_metrics_renders_png(tmp_path):
     assert out.returncode == 0, out.stderr[-500:]
     png = run / "training_graph.png"
     assert png.exists() and png.stat().st_size > 0
+
+
+def test_export_stablehlo_cli(tmp_path):
+    """End-to-end: checkpoint + config -> portable blob -> served with
+    load_predict (no model code in the serving step)."""
+    import jax
+    import yaml
+
+    from snn_for_object_detection_tpu.export import load_predict
+    from snn_for_object_detection_tpu.train.checkpoint import save_single
+    from tests.test_detector import MicroSODa
+
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=0)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "ckpt")
+    save_single(ckpt, {"params": params, "stats": stats})
+    cfg = str(tmp_path / "cfg.yaml")
+    with open(cfg, "w") as f:
+        yaml.safe_dump({"model": {
+            "class_path": "tests.test_detector.MicroSODa",
+            "init_args": {"num_classes": 2, "in_hw": [32, 40],
+                          "time_window": 0},
+        }}, f)
+    blob = str(tmp_path / "predict.stablehlo")
+    out = subprocess.run(
+        [sys.executable, "scripts/export_stablehlo.py", ckpt, blob,
+         "--config", cfg],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    runner = load_predict(blob)
+    x = (np.random.default_rng(0).random((2, 32, 40, 2)) < 0.25
+         ).astype(np.uint8)
+    dets = runner(x)
+    assert dets.shape == (2, 300, 6)
+    assert np.isfinite(np.asarray(dets)).all()
