@@ -25,6 +25,8 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -32,6 +34,12 @@ import numpy as np
 
 T, B = 32, 16
 H, W = 240, 304
+# Tunnel-outage resilience: probe the backend in a SUBPROCESS with a
+# hard timeout (an outage manifests as a hung device call, which no
+# in-process try/except can bound), and back off between attempts.
+# Round-3 lesson: a transient outage zeroed the round's bench.
+PROBE_TIMEOUT_S = 150
+PROBE_BACKOFFS_S = (30, 60, 120, 240, 300)
 # Fixed-duration baseline measurement: repeat the torch forward until
 # this much wall clock has elapsed (round-2 lesson: 2 fixed reps swung
 # the ratio 412x -> 562x run-to-run; a >= 30 s window with a pinned
@@ -39,11 +47,45 @@ H, W = 240, 304
 TORCH_MIN_SECONDS = 30.0
 
 
+def wait_for_backend() -> bool:
+    """Probe the device backend in a subprocess, retrying with backoff.
+
+    Returns True once a tiny jitted op completes; False if every
+    attempt failed/hung (the caller proceeds anyway and fails loud).
+    """
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "jax.jit(lambda a: a + 1)(jnp.ones(8)).block_until_ready()"
+    )
+    for i, backoff in enumerate((0,) + PROBE_BACKOFFS_S):
+        if backoff:
+            print(
+                f"[bench] backend down, retry {i}/{len(PROBE_BACKOFFS_S)} "
+                f"in {backoff}s",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(backoff)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=PROBE_TIMEOUT_S,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+            sys.stderr.write(r.stderr.decode(errors="replace")[-500:])
+        except subprocess.TimeoutExpired:
+            print("[bench] backend probe hung", file=sys.stderr, flush=True)
+    return False
+
+
 def bench_tpu() -> float:
     import jax
     import jax.numpy as jnp
 
     from snn_for_object_detection_tpu.models import TinyYolo
+    from snn_for_object_detection_tpu.ops import quantize as Q
 
     # Fast inference config: bf16 activations AND bf16 neuron-state
     # storage (the LIF state HBM traffic dominates; bf16 states measure
@@ -60,29 +102,58 @@ def bench_tpu() -> float:
         # scalar outputs: keep the device->host fetch out of the timing
         return cls_p.sum(), box_p.sum()
 
-    # Let XLA choose the input-frame layout (AUTO) and hand it frames
-    # already in that layout: kills the per-call relayout copy of X the
-    # default row-major layout forces (+4-5%). The loader-side transfer
-    # does the relayout during host->device copy, off the model's
-    # critical path.
-    try:
-        from jax.experimental.layout import Format, Layout
+    def time_forward(p, X) -> float:
+        """Steady-state event-frames/s for one params tree."""
+        # Let XLA choose the input-frame layout (AUTO) and hand it
+        # frames already in that layout: kills the per-call relayout
+        # copy of X the default row-major layout forces (+4-5%). The
+        # loader-side transfer does the relayout during host->device
+        # copy, off the model's critical path.
+        try:
+            from jax.experimental.layout import Format, Layout
 
-        fwd = jax.jit(forward, in_shardings=(None, None, Format(Layout.AUTO)))
-        compiled = fwd.lower(params, stats, X).compile()
-        X = jax.device_put(X, compiled.input_formats[0][2])
-        fwd = compiled
-    except Exception:
-        fwd = jax.jit(forward)
-    s, _ = fwd(params, stats, X)
-    float(s)  # compile + warm
+            fwd = jax.jit(
+                forward, in_shardings=(None, None, Format(Layout.AUTO))
+            )
+            compiled = fwd.lower(p, stats, X).compile()
+            X = jax.device_put(X, compiled.input_formats[0][2])
+            fwd = compiled
+        except Exception:
+            fwd = jax.jit(forward)
+        s, _ = fwd(p, stats, X)
+        float(s)  # compile + warm
 
-    reps = 10
-    t0 = time.perf_counter()
-    outs = [fwd(params, stats, X) for _ in range(reps)]
-    float(outs[-1][0])  # single sync after pipelined dispatches
-    dt = (time.perf_counter() - t0) / reps
-    return T * B / dt
+        reps = 10
+        t0 = time.perf_counter()
+        outs = [fwd(p, stats, X) for _ in range(reps)]
+        float(outs[-1][0])  # single sync after pipelined dispatches
+        dt = (time.perf_counter() - t0) / reps
+        return T * B / dt
+
+    fps_bf16 = time_forward(params, X)
+
+    # Compose the accuracy-validated int8 PTQ conv path (ops/quantize.py:
+    # spikes are binary so symmetric int8 is exact on most conv inputs;
+    # +8.1% measured in round 3, no measured mAP loss). Calibrate on a
+    # short slice of the bench stream; fall back to bf16 on any failure.
+    fps_int8 = None
+    if os.environ.get("BENCH_INT8", "1") != "0":
+        try:
+            absmax = Q.calibrate(model, params, stats, X[:8, :4])
+            qparams = Q.quantize(params, absmax)
+            fps_int8 = time_forward(qparams, X)
+        except Exception as e:
+            print(f"[bench] int8 path failed: {e}", file=sys.stderr)
+
+    detail = {"bf16_frames_per_sec": round(fps_bf16, 1)}
+    if fps_int8 is not None:
+        detail["int8_frames_per_sec"] = round(fps_int8, 1)
+    best = max(fps_bf16, fps_int8 or 0.0)
+    detail["config"] = (
+        "bf16-acts + bf16-states"
+        + (" + int8-ptq-convs" if best == fps_int8 else "")
+    )
+    return best, detail
 
 
 def bench_torch_cpu() -> float:
@@ -255,7 +326,13 @@ def bench_torch_cpu() -> float:
 
 
 def main():
-    tpu_fps = bench_tpu()
+    if not wait_for_backend():
+        print(
+            "[bench] backend never came up; attempting anyway",
+            file=sys.stderr,
+            flush=True,
+        )
+    tpu_fps, tpu_detail = bench_tpu()
     try:
         cpu_fps = bench_torch_cpu()
     except Exception as e:  # torch baseline is best-effort
@@ -269,6 +346,7 @@ def main():
                 "value": round(tpu_fps, 1),
                 "unit": "event-frames/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "tpu": tpu_detail,
                 "baseline": {
                     "pytorch_cpu_frames_per_sec": (
                         round(cpu_fps, 1) if np.isfinite(cpu_fps) else None

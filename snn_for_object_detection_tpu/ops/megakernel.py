@@ -354,6 +354,14 @@ class StreamingMegakernel:
             taps: List[Any] = []
             y = backbone_fn(x.astype(b.compute_dtype), P, Sin, Sout, taps)
             neck_fn(y, P, Sin, Sout, taps)
+            if len(taps) != self._n_heads:
+                # Mirror detector._trunk's explicit error: a spec whose
+                # backbone emits a stray Return must not silently
+                # truncate/misalign scales in the zip below.
+                raise RuntimeError(
+                    f"spec emitted {len(taps)} Return taps but the model "
+                    f"defines {self._n_heads} heads"
+                )
             outs = []
             for (base_fn, box_fn, cls_fn), fmap in zip(head_fns, taps):
                 base = base_fn(fmap, P, Sin, Sout, taps)

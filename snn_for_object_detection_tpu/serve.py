@@ -52,6 +52,8 @@ class StreamingEngine:
         max_out: int = 300,
         threshold: float = 0.0,
         mesh: Optional[Any] = None,
+        frame_dtype: str = "uint8",
+        pipelined: bool = False,
     ):
         """
         :param model: A :class:`SODa` detector.
@@ -72,11 +74,25 @@ class StreamingEngine:
             the computation is batch-parallel). ``capacity`` must
             divide by the mesh size; N chips serve ~N× the cameras of
             one chip.
+        :param frame_dtype: Host staging dtype for the slot frames.
+            ``uint8`` (default) ships 4× less host→device traffic than
+            fp32 — the same reason the training loader stages uint8
+            (data/prophesee.py) — and is exact for event-count frames
+            below 256 events/pixel/step; pass ``float32`` for
+            arbitrary-valued inputs. The jitted step casts to the
+            model's compute dtype on device.
+        :param pipelined: Double-buffered mode: ``step()`` dispatches
+            the current frame batch and returns the detections of the
+            PREVIOUS one, so the device step and the next host
+            rasterization + transfer overlap (one frame of added
+            latency, higher throughput; call :meth:`flush` for the
+            final frame's results). The first ``step()`` returns ``{}``.
         """
         self.model = model
         self.capacity = int(capacity)
         self.max_out = int(max_out)
         self.threshold = float(threshold)
+        self.pipelined = bool(pipelined)
         self._params = params
         self._stats = stats
         self._h, self._w = model.in_hw
@@ -87,9 +103,20 @@ class StreamingEngine:
         self._slots: Dict[str, int] = {}
         self._free: List[int] = list(range(self.capacity - 1, -1, -1))
         self._age: Dict[str, int] = {}
-        self._frames = np.zeros(
-            (self.capacity, self._h, self._w, self._c), np.float32
-        )
+        # two host staging buffers: in pipelined mode the buffer just
+        # handed to jnp.asarray may still be mid-transfer while the
+        # caller fills the next batch — alternate so we never mutate an
+        # in-flight buffer
+        self._bufs = [
+            np.zeros(
+                (self.capacity, self._h, self._w, self._c),
+                np.dtype(frame_dtype),
+            )
+            for _ in range(2 if self.pipelined else 1)
+        ]
+        self._flip = 0
+        # pipelined mode: (device detections handle, slot/age snapshot)
+        self._pending: Optional[tuple] = None
 
         def _step(params, stats, frames, state):
             return model.predict(params, stats, frames, state,
@@ -179,12 +206,17 @@ class StreamingEngine:
             for a static scene, so this is the faithful idle input).
         :return: stream_id -> filtered detections [k, 6] numpy array
             (class, conf, x1, y1, x2, y2), empty during the stream's
-            first ``model.time_window`` frames.
+            first ``model.time_window`` frames. In pipelined mode the
+            returned detections belong to the PREVIOUS ``step()``'s
+            frames (``{}`` on the first call; :meth:`flush` drains the
+            last one).
         """
         unknown = set(frames) - set(self._slots)
         if unknown:
             raise KeyError(f"unattached streams: {sorted(unknown)}")
-        self._frames[:] = 0.0
+        buf = self._bufs[self._flip]
+        self._flip = (self._flip + 1) % len(self._bufs)
+        buf[:] = 0
         for sid, frame in frames.items():
             frame = np.asarray(frame)
             if frame.shape != (self._h, self._w, self._c):
@@ -192,16 +224,42 @@ class StreamingEngine:
                     f"stream {sid!r}: frame shape {frame.shape} != "
                     f"({self._h}, {self._w}, {self._c})"
                 )
-            self._frames[self._slots[sid]] = frame
+            buf[self._slots[sid]] = frame
+        # async dispatch: jnp.asarray + the jitted step return device
+        # handles immediately; the transfer and compute proceed while
+        # the host fans out the previous results / rasterizes the next
+        # frames
         dets, self._state = self._jit_step(
-            self._params, self._stats, jnp.asarray(self._frames),
-            self._state,
+            self._params, self._stats, jnp.asarray(buf), self._state
         )
+        for sid in self._slots:
+            self._age[sid] += 1
+        snapshot = (
+            dict(self._slots),
+            {s: a for s, a in self._age.items()},
+        )
+        if not self.pipelined:
+            return self._fan_out(dets, snapshot)
+        prev, self._pending = self._pending, (dets, snapshot)
+        return self._fan_out(*prev) if prev is not None else {}
+
+    def flush(self) -> Dict[str, np.ndarray]:
+        """Pipelined mode: fetch + fan out the in-flight step's
+        detections (the final frames of a stream). No-op ``{}`` when
+        nothing is pending."""
+        if self._pending is None:
+            return {}
+        prev, self._pending = self._pending, None
+        return self._fan_out(*prev)
+
+    def _fan_out(self, dets, snapshot) -> Dict[str, np.ndarray]:
+        """Fetch a step's device detections and split per stream,
+        using the slot/age snapshot taken at its dispatch."""
+        slots, ages = snapshot
         dets_np = np.asarray(dets)
         out: Dict[str, np.ndarray] = {}
-        for sid, slot in self._slots.items():
-            self._age[sid] += 1
-            if self._age[sid] <= self.model.time_window:
+        for sid, slot in slots.items():
+            if ages[sid] <= self.model.time_window:
                 out[sid] = np.zeros((0, 6), np.float32)
                 continue
             rows = filter_detections(dets_np[slot])

@@ -267,19 +267,28 @@ class Trainer:
             return False
         req = os.path.join(self.out_dir, "reshape_request")
         if self._pending_mesh is None and os.path.exists(req):
+            # Atomically claim the file first: a supervisor that rewrites
+            # the request between our read and remove lands as a *fresh*
+            # file and is picked up next epoch instead of being deleted
+            # unread.
+            claimed = req + ".claimed"
             try:
-                with open(req) as f:
-                    n = int(f.read().strip())
-                self.request_mesh_reshape(num_devices=n)
-            except (ValueError, IndexError) as e:
-                print(f"[trainer] bad reshape_request ignored: {e}",
-                      flush=True)
+                os.rename(req, claimed)
             except OSError:
-                pass  # supervisor rewrote/removed it mid-poll; next epoch
-            try:
-                os.remove(req)
-            except OSError:
-                pass
+                claimed = None  # supervisor removed it mid-poll
+            if claimed is not None:
+                try:
+                    with open(claimed) as f:
+                        n = int(f.read().strip())
+                    self.request_mesh_reshape(num_devices=n)
+                except (ValueError, IndexError, OSError) as e:
+                    print(f"[trainer] bad reshape_request ignored: {e}",
+                          flush=True)
+                finally:
+                    try:
+                        os.remove(claimed)
+                    except OSError:
+                        pass
         new = self._pending_mesh
         self._pending_mesh = None
         if new is None or new.shape == self.mesh.shape:

@@ -181,6 +181,61 @@ def test_sharded_engine_matches_single_device(setup):
         StreamingEngine(model, params, stats, capacity=6, mesh=mesh)
 
 
+def test_pipelined_mode_shifts_results_one_step(setup):
+    """Pipelined (double-buffered) engine: step() returns the PREVIOUS
+    frame's detections — same values as the synchronous engine, one
+    call later, with flush() draining the final in-flight step."""
+    model, params, stats = setup
+    seq = [frame(t) for t in range(6)]
+
+    sync_eng = StreamingEngine(model, params, stats, capacity=2)
+    sync_eng.add_stream("a")
+    expected = [sync_eng.step({"a": f})["a"] for f in seq]
+
+    pipe_eng = StreamingEngine(
+        model, params, stats, capacity=2, pipelined=True
+    )
+    pipe_eng.add_stream("a")
+    assert pipe_eng.step({"a": seq[0]}) == {}  # nothing in flight yet
+    got = [pipe_eng.step({"a": f})["a"] for f in seq[1:]]
+    got.append(pipe_eng.flush()["a"])
+    assert pipe_eng.flush() == {}  # drained
+    for e, g in zip(expected, got):
+        np.testing.assert_array_equal(e, g)
+
+
+def test_pipelined_remove_stream_keeps_pending(setup):
+    """Detections in flight when a stream is removed still fan out
+    (the dispatch-time slot snapshot, not the current slot map)."""
+    model, params, stats = setup
+    eng = StreamingEngine(
+        model, params, stats, capacity=2, pipelined=True
+    )
+    eng.add_stream("a")
+    for t in range(model.time_window + 1):
+        eng.step({"a": frame(t)})
+    eng.remove_stream("a")
+    out = eng.flush()
+    assert "a" in out and out["a"].shape[1] == 6
+
+
+def test_frame_staging_dtypes_match(setup):
+    """uint8 staging (default, 4x less H2D) is exact for binary event
+    frames: detections match float32 staging bit-for-bit."""
+    model, params, stats = setup
+    eng8 = StreamingEngine(model, params, stats, capacity=2)
+    eng32 = StreamingEngine(
+        model, params, stats, capacity=2, frame_dtype="float32"
+    )
+    for eng in (eng8, eng32):
+        eng.add_stream("a")
+    for t in range(model.time_window + 3):
+        f = frame(t)
+        np.testing.assert_array_equal(
+            eng8.step({"a": f})["a"], eng32.step({"a": f})["a"]
+        )
+
+
 def test_int8_quantized_params(setup):
     """int8-PTQ params (ops/quantize.py) serve through the engine: the
     deployment combination the README advertises."""
