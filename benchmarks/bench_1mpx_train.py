@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""1Mpx TRAIN-step state-traffic study (ROADMAP round-4 item).
+
+The 1Mpx train step (T=16, B=2, bf16 states) measured 3.76 s/step in
+round 3 — HBM-bound on the 720p stage-1 LIF state tensors, with fp32
+states OOMing outright. This sweep isolates the state-traffic knobs on
+the REAL jitted train step (forward + SSD loss + BPTT grad + Adamax
+update), one variant per line:
+
+  - state dtype: bf16 (baseline) / fp8_e4m3 (halves state bytes again)
+  - remat on/off (remat reads the states twice; off trades HBM
+    capacity for one read)
+  - scan_unroll 1/2 (unrolling lets XLA overlap step t's conv with
+    step t+1's state update)
+
+Run on the real chip:
+    python benchmarks/bench_1mpx_train.py [T] [B]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from snn_for_object_detection_tpu.models import TinyYolo
+
+H, W = 720, 1280
+NUM_CLASSES = 7
+
+
+def make_step(model):
+    optimizer = optax.adamax(model.learning_rate)
+
+    def train_step(params, opt_state, stats, X, labels, key):
+        r = jax.random.randint(key, (), 0, max(model.time_window, 1))
+
+        def loss_fn(p, stats):
+            preds, new_stats, _ = model.forward(
+                p, stats, X, start_step=r, train=True
+            )
+            return model.loss(preds, labels), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, stats)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_stats, loss
+
+    return optimizer, train_step
+
+
+def measure(T, B, **model_kwargs) -> dict:
+    model = TinyYolo(
+        num_classes=NUM_CLASSES, in_hw=(H, W), time_window=4,
+        compute_dtype=jnp.bfloat16, **model_kwargs,
+    )
+    params, stats = model.init(jax.random.PRNGKey(0))
+    optimizer, train_step = make_step(model)
+    opt_state = optimizer.init(params)
+    X = jnp.asarray(
+        np.random.default_rng(0).random((T, B, H, W, 2)) < 0.05, jnp.uint8
+    )
+    labels = np.full((B, 8, 5), -1.0, np.float32)
+    labels[:, 0] = [0, 0.2, 0.2, 0.6, 0.6]
+    labels = jnp.asarray(labels)
+    jit_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    params, opt_state, stats, loss = jit_step(
+        params, opt_state, stats, X, labels, key
+    )
+    float(loss)
+    compile_s = time.perf_counter() - t0
+
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        params, opt_state, stats, loss = jit_step(
+            params, opt_state, stats, X, labels,
+            jax.random.fold_in(key, i),
+        )
+    float(loss)
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "s_per_step": round(dt, 3),
+        "frames_per_sec": round(T * B / dt, 1),
+        "compile_s": round(compile_s, 1),
+        "loss_finite": bool(np.isfinite(float(loss))),
+    }
+
+
+def main():
+    T = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    variants = {
+        "bf16_states_remat_u1": dict(state_dtype=jnp.bfloat16),
+        "bf16_states_remat_u2": dict(state_dtype=jnp.bfloat16,
+                                     scan_unroll=2),
+        "bf16_states_noremat": dict(state_dtype=jnp.bfloat16,
+                                    remat=False),
+        "fp8_states_remat_u1": dict(state_dtype=jnp.float8_e4m3fn),
+        "fp8_states_noremat": dict(state_dtype=jnp.float8_e4m3fn,
+                                   remat=False),
+    }
+    results = {}
+    for name, kwargs in variants.items():
+        try:
+            results[name] = measure(T, B, **kwargs)
+        except Exception as e:  # OOM at this geometry is a data point
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps({name: results[name]}), flush=True)
+    print(json.dumps({
+        "metric": "1mpx_train_state_traffic",
+        "geometry": {"T": T, "B": B, "hw": [H, W]},
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,14 @@
-"""Device mesh + sharding for data-parallel training.
+"""Device mesh + sharding for data- and spatially-parallel training.
 
 The TPU-native replacement for the reference's DDP/NCCL stack
-(SURVEY.md §2.2-2.3): a 1-D ``jax.sharding.Mesh`` over all local (or
-all global) devices with the batch axis sharded. Under ``jit``, GSPMD
-inserts the gradient ``psum`` over ICI automatically, and BatchNorm's
-batch-mean becomes a cross-replica reduction (sync-BN,
-config/config.yaml:76) with no hand-written collectives.
+(SURVEY.md §2.2-2.3): a ``jax.sharding.Mesh`` with the batch axis
+sharded over ``data`` and — for geometries whose batch is smaller than
+the chip count, like 1Mpx training at B=2 — the image-height axis
+sharded over ``space``. Under ``jit``, GSPMD inserts the gradient
+``psum`` over ICI automatically, BatchNorm's batch-mean becomes a
+cross-replica reduction (sync-BN, config/config.yaml:76), and spatial
+convolutions get halo exchanges at shard edges — no hand-written
+collectives anywhere.
 
 Multi-host: call ``jax.distributed.initialize()`` before building the
 mesh; ``jax.devices()`` then spans all processes and the same code
@@ -21,13 +24,38 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
-def make_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS) -> Mesh:
-    """1-D data-parallel mesh over ``devices`` (default: all)."""
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    axis: str = DATA_AXIS,
+    spatial: int = 1,
+) -> Mesh:
+    """Device mesh over ``devices`` (default: all).
+
+    ``spatial=1`` (default): 1-D data-parallel mesh. ``spatial=k``:
+    2-D ``(data, space)`` mesh with ``k`` devices along ``space`` —
+    feature maps shard their height dim over ``space`` (see
+    :func:`feature_sharding`), so a batch of B images can still use
+    ``B*k`` chips. Adjacent mesh columns are adjacent devices, so the
+    halo exchanges ride neighbor ICI links.
+    """
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (axis,))
+    devs = np.asarray(devices)
+    if spatial > 1:
+        if devs.size % spatial:
+            raise ValueError(
+                f"{devs.size} devices not divisible by spatial={spatial}"
+            )
+        return Mesh(devs.reshape(-1, spatial), (axis, SPACE_AXIS))
+    return Mesh(devs, (axis,))
+
+
+def data_extent(mesh: Mesh) -> int:
+    """Devices along the batch (``data``) axis of ``mesh``."""
+    return mesh.shape.get(DATA_AXIS, mesh.size)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -43,8 +71,25 @@ def batch_sharding(mesh: Mesh, batch_axis_index: int) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def feature_sharding(
+    mesh: Mesh, batch_axis_index: int = 1, height_axis_index: int = 2
+) -> NamedSharding:
+    """Sharding for feature maps: B over ``data`` and — on a 2-D
+    ``(data, space)`` mesh — H over ``space``. Default axis positions
+    match the time-major event tensor ``[T, B, H, W, C]``. Inside
+    ``jit``, GSPMD keeps every conv/pool shard-local by exchanging
+    halo rows at shard edges and turns BN's spatial mean into a
+    cross-shard reduction — the model code never sees the split."""
+    spec = [None] * (max(batch_axis_index, height_axis_index) + 1)
+    spec[batch_axis_index] = DATA_AXIS
+    if SPACE_AXIS in mesh.axis_names:
+        spec[height_axis_index] = SPACE_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
 def shard_batch(mesh: Mesh, features: Any, labels: Any):
-    """Place a host batch onto the mesh, sharded along B.
+    """Place a host batch onto the mesh, sharded along B (and along H
+    over the ``space`` axis when ``mesh`` is 2-D).
 
     Single-process: a plain sharded ``device_put``. Multi-process: each
     host contributes its local batch as its slice of one global array
@@ -55,7 +100,7 @@ def shard_batch(mesh: Mesh, features: Any, labels: Any):
     :param features: [T, B_local, H, W, C] numpy array.
     :param labels: [B_local, N, 5] numpy array.
     """
-    f_sh, l_sh = batch_sharding(mesh, 1), batch_sharding(mesh, 0)
+    f_sh, l_sh = feature_sharding(mesh), batch_sharding(mesh, 0)
     if jax.process_count() > 1:
         f = jax.make_array_from_process_local_data(f_sh, np.asarray(features))
         l = jax.make_array_from_process_local_data(l_sh, np.asarray(labels))

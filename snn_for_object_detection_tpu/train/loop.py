@@ -31,6 +31,8 @@ import optax
 
 from snn_for_object_detection_tpu.parallel import (
     batch_sharding,
+    data_extent,
+    feature_sharding,
     make_mesh,
     prefetch_to_device,
     replicated,
@@ -83,6 +85,12 @@ class Trainer:
 
     :param mesh: Optional pre-built device mesh; default = 1-D mesh
         over all visible devices (data parallelism).
+    :param spatial_devices: Devices along the ``space`` mesh axis.
+        ``>1`` builds a 2-D ``(data, space)`` mesh that additionally
+        shards the image-height axis, so geometries whose batch is
+        smaller than the chip count — 1Mpx training at B=2-4 on a
+        v5e-8 — still use every chip (GSPMD halo-exchanges conv
+        shard edges automatically). Ignored when ``mesh`` is given.
     """
 
     def __init__(
@@ -107,6 +115,7 @@ class Trainer:
         fast_dev_run: bool = False,
         limit_predict_batches: int = 1,
         prefetch_batches: int = 2,
+        spatial_devices: int = 1,
         optimizer: Any = "adamax",
         lr_schedule: Optional[Dict[str, Any]] = None,
         logger: Any = None,
@@ -144,6 +153,7 @@ class Trainer:
         # device-resident batches kept ahead of the train step
         # (background host->device transfer; 0 = synchronous)
         self.prefetch_batches = prefetch_batches
+        self.spatial_devices = max(int(spatial_devices), 1)
         # Optimizer surface (beyond the reference's fixed Adamax,
         # soda.py:135-136): any optax factory by name ("adamax",
         # "adamw", "sgd", ...) or {"name": ..., **kwargs}; optional LR
@@ -175,17 +185,27 @@ class Trainer:
         ]
 
     def mesh_for_batch(self, batch_size: int):
-        """Data-parallel mesh whose size divides the global batch. A
-        user-provided mesh is used as-is; otherwise take the largest
-        divisor of ``batch_size`` not exceeding the device count (so
-        small debug batches still run on big hosts).
+        """Data-parallel mesh whose data extent divides the global
+        batch. A user-provided mesh is used as-is; otherwise take the
+        largest divisor of ``batch_size`` not exceeding the device
+        count (so small debug batches still run on big hosts). With
+        ``spatial_devices=k``, each data replica spans ``k`` devices
+        along a second ``space`` axis (height-sharded feature maps).
 
         Multi-process: ``batch_size`` is per-host (DDP semantics), the
         mesh always spans every device of every host, and the per-host
         batch must divide evenly over the host's local devices."""
         if self._mesh is not None:
             return self._mesh
+        s = self.spatial_devices
         if dist.is_distributed():
+            if s > 1:
+                # a space axis crossing host boundaries would put halo
+                # exchanges on DCN; keep spatial sharding single-host
+                raise ValueError(
+                    "spatial_devices > 1 is single-host only; pass an "
+                    "explicit mesh to shard spatially across hosts"
+                )
             n_local = len(jax.local_devices())
             if batch_size % n_local:
                 raise ValueError(
@@ -195,14 +215,19 @@ class Trainer:
             self._mesh = make_mesh()
             return self._mesh
         n_dev = len(jax.devices())
-        n = min(n_dev, batch_size)
+        if n_dev % s:
+            raise ValueError(
+                f"{n_dev} devices not divisible by spatial_devices={s}"
+            )
+        n = min(n_dev // s, batch_size)
         while batch_size % n:
             n -= 1
-        self._mesh = make_mesh(jax.devices()[:n])
-        if n < n_dev:
+        self._mesh = make_mesh(jax.devices()[: n * s], spatial=s)
+        if n * s < n_dev:
+            shape = f"{n}x{s} (data x space)" if s > 1 else f"{n}-device"
             print(
-                f"[trainer] batch {batch_size} not divisible by {n_dev} "
-                f"devices; using a {n}-device mesh",
+                f"[trainer] batch {batch_size} not divisible by "
+                f"{n_dev // s} data replicas; using a {shape} mesh",
                 flush=True,
             )
         return self._mesh
@@ -252,7 +277,13 @@ class Trainer:
             devices = avail[:num_devices]
         if len(devices) < 1:
             raise ValueError("reshape needs at least one device")
-        self._pending_mesh = make_mesh(devices)
+        s = self.spatial_devices
+        if len(devices) % s:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by "
+                f"spatial_devices={s}"
+            )
+        self._pending_mesh = make_mesh(devices, spatial=s)
 
     def _poll_mesh_reshape(self, batch_size: int) -> bool:
         """Apply a queued reshape if valid; returns True on change."""
@@ -293,10 +324,11 @@ class Trainer:
         self._pending_mesh = None
         if new is None or new.shape == self.mesh.shape:
             return False
-        if batch_size % new.size:
+        if batch_size % data_extent(new):
             print(
                 f"[trainer] reshape to {new.size} devices ignored: "
-                f"batch {batch_size} not divisible",
+                f"batch {batch_size} not divisible by the "
+                f"{data_extent(new)} data replicas",
                 flush=True,
             )
             return False
@@ -373,7 +405,7 @@ class Trainer:
                 optimizer, every_k_schedule=self.accumulate_grad_batches
             )
         rep = replicated(self.mesh)
-        feat_sh = batch_sharding(self.mesh, 1)
+        feat_sh = feature_sharding(self.mesh)
         lab_sh = batch_sharding(self.mesh, 0)
 
         def train_step(params, opt_state, stats, X, labels, key):

@@ -25,6 +25,31 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Modules whose tests are compile-/fit-bound (measured with
+# --durations on a 1-CPU host): excluded from the `smoke` profile so
+# `pytest -m smoke` stays under ~5 minutes. Everything else is marked
+# smoke automatically; chip-gated tests (train_gate) are always slow.
+SLOW_MODULES = {
+    "test_cli",
+    "test_distributed",
+    "test_import_torch_ckpt",
+    "test_megakernel",
+    "test_model_zoo",
+    "test_parity_grad_torch",
+    "test_serve",
+    "test_train",
+    "test_train_gate",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES or item.get_closest_marker("train_gate"):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture
 def rng():

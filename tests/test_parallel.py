@@ -17,6 +17,8 @@ from snn_for_object_detection_tpu.models import compile as C
 from snn_for_object_detection_tpu.models import spec as S
 from snn_for_object_detection_tpu.parallel import (
     batch_sharding,
+    data_extent,
+    feature_sharding,
     make_mesh,
     replicated,
     shard_batch,
@@ -30,6 +32,7 @@ pytestmark = pytest.mark.skipif(
 
 def make_train_step(model, optimizer, mesh):
     rep = replicated(mesh)
+    feat_sh = feature_sharding(mesh)
 
     def train_step(params, opt_state, stats, X, labels):
         def loss_fn(p, stats):
@@ -45,8 +48,7 @@ def make_train_step(model, optimizer, mesh):
 
     return jax.jit(
         train_step,
-        in_shardings=(rep, rep, rep, batch_sharding(mesh, 1),
-                      batch_sharding(mesh, 0)),
+        in_shardings=(rep, rep, rep, feat_sh, batch_sharding(mesh, 0)),
         out_shardings=(rep, rep, rep, rep),
     )
 
@@ -75,6 +77,54 @@ def test_sharded_train_step_matches_single_device(rng):
     np.testing.assert_allclose(l1, l8, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_spatial_sharded_train_step_matches_single_device(rng):
+    """2-D (data x space) mesh: with B=2 — smaller than the 8 devices,
+    the 1Mpx-training geometry — the height axis shards over ``space``
+    and the train step must still be exact vs one device (GSPMD halo
+    exchange at conv shard edges + cross-shard BN spatial mean)."""
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=0)
+    optimizer = optax.adamax(1e-3)
+    params, stats = model.init(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+
+    T, B = 4, 2
+    X = (rng.random((T, B, 32, 40, 2)) < 0.5).astype(np.float32)
+    labels = np.full((B, 2, 5), -1.0, np.float32)
+    labels[:, 0] = [0, 0.2, 0.2, 0.6, 0.6]
+
+    results = {}
+    for name, mesh in (
+        ("single", make_mesh(jax.devices()[:1])),
+        ("dp2_sp4", make_mesh(jax.devices()[:8], spatial=4)),
+    ):
+        step = make_train_step(model, optimizer, mesh)
+        Xd, labd = shard_batch(mesh, X, labels)
+        p, o, s, loss = step(params, opt_state, stats, Xd, labd)
+        results[name] = (jax.device_get(p), float(loss))
+
+    assert data_extent(make_mesh(jax.devices()[:8], spatial=4)) == 2
+    p1, l1 = results["single"]
+    p8, l8 = results["dp2_sp4"]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_spatial_mesh_geometry():
+    """Trainer(spatial_devices=4) sizes a (data x space) mesh from the
+    batch, and live reshape preserves the space extent."""
+    from snn_for_object_detection_tpu.train import Trainer
+
+    tr = Trainer(spatial_devices=4, out_dir="/tmp/_spatial_geom")
+    mesh = tr.mesh_for_batch(2)
+    assert dict(mesh.shape) == {"data": 2, "space": 4}
+
+    tr.request_mesh_reshape(num_devices=4)  # 1 data replica x 4 space
+    assert dict(tr._pending_mesh.shape) == {"data": 1, "space": 4}
+    with pytest.raises(ValueError, match="not divisible"):
+        tr.request_mesh_reshape(num_devices=6)
 
 
 def test_sharded_bn_sees_global_batch(rng):

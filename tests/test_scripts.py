@@ -87,3 +87,35 @@ def test_export_stablehlo_cli(tmp_path):
     dets = runner(x)
     assert dets.shape == (2, 300, 6)
     assert np.isfinite(np.asarray(dets)).all()
+
+
+def test_check_gen1_pass_and_fail(tmp_path):
+    """Dataset preflight (scripts/check_gen1.py): a valid synthetic
+    GEN1 layout passes; an orphan label and a truncated .dat fail with
+    named problems."""
+    from snn_for_object_detection_tpu.data.synthetic import (
+        make_synthetic_dataset,
+    )
+
+    root = make_synthetic_dataset(
+        str(tmp_path / "ds"), records_per_split=1, duration_ms=1200
+    )
+    cmd = [sys.executable, "scripts/check_gen1.py", root]
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout + out.stderr[-500:]
+    assert "OK" in out.stdout
+
+    # orphan label (no paired .dat) + truncated event file
+    orphan = os.path.join(root, "gen1", "train", "orphan_bbox.npy")
+    with open(os.path.join(root, "gen1", "train", "rec0_bbox.npy"),
+              "rb") as f:
+        data = f.read()
+    with open(orphan, "wb") as f:
+        f.write(data)
+    dat = os.path.join(root, "gen1", "val", "rec0_td.dat")
+    with open(dat, "r+b") as f:
+        f.truncate(40)
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    assert out.returncode == 1
+    assert "label without events" in out.stdout
+    assert "zero events" in out.stdout
