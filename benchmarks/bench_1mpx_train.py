@@ -12,6 +12,10 @@ update), one variant per line:
     capacity for one read)
   - scan_unroll 1/2 (unrolling lets XLA overlap step t's conv with
     step t+1's state update)
+  - schedule: per-step scan (baseline) vs time-batched forward_seq
+    (convs folded over T*B, Pallas temporal cells with VMEM-resident
+    state, conv->norm->cell segments rematerialized) — the
+    Trainer(time_batched=True) fast path, VERDICT round-3 item 6
 
 Run on the real chip:
     python benchmarks/bench_1mpx_train.py [T] [B]
@@ -37,14 +41,15 @@ H, W = 720, 1280
 NUM_CLASSES = 7
 
 
-def make_step(model):
+def make_step(model, time_batched=False):
     optimizer = optax.adamax(model.learning_rate)
+    fwd = model.forward_seq if time_batched else model.forward
 
     def train_step(params, opt_state, stats, X, labels, key):
         r = jax.random.randint(key, (), 0, max(model.time_window, 1))
 
         def loss_fn(p, stats):
-            preds, new_stats, _ = model.forward(
+            preds, new_stats, _ = fwd(
                 p, stats, X, start_step=r, train=True
             )
             return model.loss(preds, labels), new_stats
@@ -59,13 +64,13 @@ def make_step(model):
     return optimizer, train_step
 
 
-def measure(T, B, **model_kwargs) -> dict:
+def measure(T, B, time_batched=False, **model_kwargs) -> dict:
     model = TinyYolo(
         num_classes=NUM_CLASSES, in_hw=(H, W), time_window=4,
         compute_dtype=jnp.bfloat16, **model_kwargs,
     )
     params, stats = model.init(jax.random.PRNGKey(0))
-    optimizer, train_step = make_step(model)
+    optimizer, train_step = make_step(model, time_batched)
     opt_state = optimizer.init(params)
     X = jnp.asarray(
         np.random.default_rng(0).random((T, B, H, W, 2)) < 0.05, jnp.uint8
@@ -112,6 +117,14 @@ def main():
         "fp8_states_remat_u1": dict(state_dtype=jnp.float8_e4m3fn),
         "fp8_states_noremat": dict(state_dtype=jnp.float8_e4m3fn,
                                    remat=False),
+        # time-batched schedule (Trainer(time_batched=True)): remat
+        # here means segment-level jax.checkpoint in forward_seq
+        "seq_bf16_states": dict(state_dtype=jnp.bfloat16,
+                                time_batched=True),
+        "seq_bf16_states_noremat": dict(state_dtype=jnp.bfloat16,
+                                        remat=False, time_batched=True),
+        "seq_fp8_states": dict(state_dtype=jnp.float8_e4m3fn,
+                               time_batched=True),
     }
     results = {}
     for name, kwargs in variants.items():

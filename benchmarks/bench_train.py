@@ -1,8 +1,17 @@
 #!/usr/bin/env python3
-"""Training-step throughput: full jitted train step (random-start scan
+"""Training-step throughput: full jitted train step (random-start
 forward + SSD loss + BPTT grad + Adamax) on the flagship TinyYolo.
 
+Two schedules, one line each:
+  - step scan (the default; XLA fuses each cell update into its
+    producer conv's epilogue)
+  - time-batched forward_seq (Trainer(time_batched=True): convs folded
+    over T*B, Pallas temporal cells with VMEM-resident state,
+    conv->norm->cell segments rematerialized)
+
 Prints one JSON line. Run while the chip is otherwise idle.
+
+    python benchmarks/bench_train.py [T] [B]
 """
 
 from __future__ import annotations
@@ -22,12 +31,12 @@ import optax
 
 from snn_for_object_detection_tpu.models import TinyYolo
 
-T, B = 32, 4
 H, W = 240, 304
 
 
-def main():
-    model = TinyYolo(num_classes=2, in_hw=(H, W), time_window=16)
+def measure(T, B, time_batched, **model_kwargs):
+    model = TinyYolo(num_classes=2, in_hw=(H, W), time_window=16,
+                     **model_kwargs)
     optimizer = optax.adamax(model.learning_rate)
     params, stats = model.init(jax.random.PRNGKey(0))
     opt_state = optimizer.init(params)
@@ -38,13 +47,14 @@ def main():
     labels[:, 0] = [0, 0.2, 0.2, 0.6, 0.6]
     labels = jnp.asarray(labels)
 
+    fwd = model.forward_seq if time_batched else model.forward
+
     def train_step(params, opt_state, stats, X, labels, key):
         r = jax.random.randint(key, (), 0, model.time_window)
 
         def loss_fn(p, stats):
-            preds, new_stats, _ = model.forward(
-                p, stats, X, start_step=r, train=True
-            )
+            preds, new_stats, _ = fwd(p, stats, X, start_step=r,
+                                      train=True)
             return model.loss(preds, labels), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -56,7 +66,9 @@ def main():
 
     step = jax.jit(train_step, donate_argnums=(0, 1, 2))
     key = jax.random.PRNGKey(0)
-    params, opt_state, stats, loss = step(params, opt_state, stats, X, labels, key)
+    params, opt_state, stats, loss = step(
+        params, opt_state, stats, X, labels, key
+    )
     float(loss)  # compile + warm
 
     reps = 10
@@ -67,14 +79,40 @@ def main():
         )
     float(loss)
     dt = (time.perf_counter() - t0) / reps
+    return {
+        "frames_per_sec": round(T * B / dt, 1),
+        "step_ms": round(dt * 1e3, 1),
+        "loss_finite": bool(np.isfinite(float(loss))),
+    }
+
+
+def main():
+    T = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    results = {}
+    for name, tb, kwargs in (
+        ("step_scan", False, {}),
+        ("step_scan_bf16_states", False,
+         dict(compute_dtype=jnp.bfloat16, state_dtype=jnp.bfloat16)),
+        ("time_batched_bf16_states", True,
+         dict(compute_dtype=jnp.bfloat16, state_dtype=jnp.bfloat16)),
+    ):
+        try:
+            results[name] = measure(T, B, tb, **kwargs)
+        except Exception as e:  # OOM at a geometry is a data point
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps({name: results[name]}), flush=True)
     print(
         json.dumps(
             {
-                "metric": "gen1_train_frames_per_sec_per_chip_T32",
-                "value": round(T * B / dt, 1),
+                "metric": f"gen1_train_frames_per_sec_per_chip_T{T}",
+                "value": max(
+                    (r.get("frames_per_sec", 0) for r in results.values()),
+                    default=0,
+                ),
                 "unit": "event-frames/s (with BPTT grad + Adamax)",
-                "step_ms": round(dt * 1e3, 1),
                 "batch": B,
+                "results": results,
             }
         )
     )

@@ -51,6 +51,16 @@ class Ctx:
     # Time-batched mode only: [T] bool, step t active iff step_mask[t]
     # (the random-start truncation gate; None = all steps active).
     step_mask: Optional[Array] = None
+    # When step_mask is the prefix mask arange(T) >= r, the traced
+    # scalar r itself — lets stateful cells use the Pallas temporal
+    # kernel's truncation gate instead of the masked scan fallback.
+    start_step: Optional[Array] = None
+    # Time-batched TRAINING only: wrap compute segments (conv->norm->
+    # cell runs, nested blocks) in jax.checkpoint, so BPTT through
+    # apply_seq saves only segment-boundary activations instead of
+    # every layer's [T, B, H, W, C] output (the seq-mode analogue of
+    # the step scan's jax.checkpoint(body), detector.py:470-471).
+    remat_seq: bool = False
     # Time-batched mode only: run eligible [Conv3x3 -> BN -> LIF/LI]
     # units as ONE fused temporal Pallas kernel (inference fast path;
     # fp32-accumulation order differs from the XLA conv, so spikes can
@@ -89,8 +99,14 @@ class CompiledBlock:
     apply: Callable[[Params, Params, Any, Array, Ctx], Tuple[Array, Params, Any]]
     apply_seq: Optional[Callable] = None
     # leaf descriptor for cross-layer fusion in seq mode, e.g.
-    # ("conv", k, s) / ("norm", eps) / ("cell", "lif", record)
+    # ("conv", k, s) / ("norm", eps) / ("cell", "lif", record) /
+    # ("block",) for compiled sub-blocks / ("tap",) for Return leaves
     meta: Optional[Tuple] = None
+    # True if this block (or any nested layer) appends to ctx.taps —
+    # such layers must run OUTSIDE jax.checkpoint segments (the tap
+    # list is a trace-time side channel; a checkpointed body would
+    # leak inner tracers into it).
+    has_tap: bool = False
 
     def __post_init__(self):
         if self.apply_seq is None:
@@ -145,8 +161,10 @@ def _cell_apply_seq(cell, state_dtype, record, name, pallas_cell=None):
 
     For plain LIF/LI cells (``pallas_cell`` set), the whole time loop
     runs as ONE Pallas kernel with (v, i) resident in VMEM
-    (ops/pallas_kernels.temporal_cell_seq) whenever no truncation mask
-    or recording is requested; numerics are bit-identical to the scan.
+    (ops/pallas_kernels.temporal_cell_seq) whenever no recording is
+    requested and the truncation mask (if any) is the prefix gate the
+    kernel understands (``ctx.start_step``); numerics are bit-identical
+    to the scan.
     """
 
     def apply_seq(params, stats, state, X, ctx):
@@ -154,13 +172,14 @@ def _cell_apply_seq(cell, state_dtype, record, name, pallas_cell=None):
         want_rec = record and ctx.record
 
         if (
-            pallas_cell is not None and keep is None and not want_rec
-            and X.ndim >= 3
+            pallas_cell is not None and not want_rec and X.ndim >= 3
+            and (keep is None or ctx.start_step is not None)
         ):
             from snn_for_object_detection_tpu.ops import pallas_kernels
 
             z, v_t, i_t = pallas_kernels.temporal_cell_seq(
-                X, state.v, state.i, cell=pallas_cell
+                X, state.v, state.i, cell=pallas_cell,
+                start=0 if ctx.start_step is None else ctx.start_step,
             )
             return z, stats, type(state)(v_t, i_t)
 
@@ -634,7 +653,7 @@ def _compile_leaf(
         # In time-batched mode the tap is the whole [T, B, ...] sequence.
         return CompiledBlock(
             in_ch, in_hw, _empty_init, _empty_stats, _empty_state, apply,
-            apply_seq=apply,
+            apply_seq=apply, meta=("tap",), has_tap=True,
         )
 
     raise TypeError(f"Unknown layer spec: {layer!r}")
@@ -775,9 +794,81 @@ def compile_block(
         )
         return z, type(st)(v_t, i_t)
 
+    def _segment_plan(layers):
+        """Compile-time grouping of a branch into jax.checkpoint
+        segments for seq-mode training remat (ctx.remat_seq). A
+        segment closes after each stateful cell or nested block — the
+        activation-heavy boundaries — so backward saves only one
+        [T, B, H, W, C] tensor per conv->norm->cell run instead of one
+        per layer. Tap layers (Return) run bare: ctx.taps appends are
+        trace-time side channels that must stay outside the
+        checkpointed body."""
+        plan = []
+        cur: List[int] = []
+        for li, layer in enumerate(layers):
+            if layer.has_tap:
+                if cur:
+                    plan.append(("seg", cur, _make_seg_runner(layers, cur)))
+                    cur = []
+                plan.append(("bare", [li], None))
+                continue
+            cur.append(li)
+            if layer.meta is not None and layer.meta[0] in ("cell", "block"):
+                plan.append(("seg", cur, _make_seg_runner(layers, cur)))
+                cur = []
+        if cur:
+            plan.append(("seg", cur, _make_seg_runner(layers, cur)))
+        return plan
+
+    def _make_seg_runner(layers, idxs):
+        def run(y, ps, ss, sts, ictx):
+            new_s, new_st = [], []
+            for li, p, s, st in zip(idxs, ps, ss, sts):
+                y, s2, st2 = layers[li].apply_seq(p, s, st, y, ictx)
+                new_s.append(s2)
+                new_st.append(st2)
+            return y, tuple(new_s), tuple(new_st)
+
+        return run
+
     def _make_apply(seq: bool):
         fused_plans = [_fused_groups(layers) for layers in branches] if seq \
             else [{} for _ in branches]
+        seg_plans = [_segment_plan(layers) for layers in branches] if seq \
+            else None
+
+        def _apply_branch_remat(layers, plan, p_b, s_b, st_b, x, ctx,
+                                b_stats, b_state):
+            # Training remat path: params/stats/state enter each
+            # segment as EXPLICIT jax.checkpoint args (gradients only
+            # flow to explicit arguments); ctx is closed over — its
+            # only traced field (step_mask/start_step) needs no grad.
+            # Inner layers see remat_seq=False so nested blocks don't
+            # re-wrap (one remat level = one forward recompute).
+            ictx = dataclasses.replace(ctx, remat_seq=False)
+            y = x
+            for kind, idxs, runner in plan:
+                if kind == "bare":
+                    li = idxs[0]
+                    y, s2, st2 = layers[li].apply_seq(
+                        p_b[f"l{li}"], s_b[f"l{li}"], st_b[f"l{li}"], y,
+                        ctx,
+                    )
+                    b_stats[f"l{li}"] = s2
+                    b_state[f"l{li}"] = st2
+                    continue
+                ps = tuple(p_b[f"l{li}"] for li in idxs)
+                ss = tuple(s_b[f"l{li}"] for li in idxs)
+                sts = tuple(st_b[f"l{li}"] for li in idxs)
+                y, new_ss, new_sts = jax.checkpoint(
+                    lambda y, ps, ss, sts, run=runner: run(
+                        y, ps, ss, sts, ictx
+                    )
+                )(y, ps, ss, sts)
+                for li, s2, st2 in zip(idxs, new_ss, new_sts):
+                    b_stats[f"l{li}"] = s2
+                    b_state[f"l{li}"] = st2
+            return y
 
         def apply(params, stats, state, x, ctx):
             outs = []
@@ -791,6 +882,15 @@ def compile_block(
                 p_b = params[f"b{bi}"]
                 s_b = stats[f"b{bi}"]
                 st_b = state[f"b{bi}"]
+                if seq and ctx.remat_seq:
+                    y = _apply_branch_remat(
+                        layers, seg_plans[bi], p_b, s_b, st_b, x, ctx,
+                        b_stats, b_state,
+                    )
+                    outs.append(y)
+                    new_stats[f"b{bi}"] = b_stats
+                    new_state[f"b{bi}"] = b_state
+                    continue
                 li = 0
                 while li < len(layers):
                     grp = plan.get(li) if (
@@ -836,5 +936,8 @@ def compile_block(
 
         return apply
 
-    return CompiledBlock(out_channels, out_hw, init, init_stats, init_state,
-                         _make_apply(False), apply_seq=_make_apply(True))
+    return CompiledBlock(
+        out_channels, out_hw, init, init_stats, init_state,
+        _make_apply(False), apply_seq=_make_apply(True), meta=("block",),
+        has_tap=any(l.has_tap for ls in branches for l in ls),
+    )

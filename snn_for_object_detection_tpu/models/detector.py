@@ -499,12 +499,16 @@ class SODa:
 
         Stateless layers (convs, BN, activations) run ONCE over the
         folded ``T*B`` batch — big MXU ops, weights read from HBM once
-        per sequence instead of once per step — and only the
-        elementwise stateful cells run per-layer ``lax.scan``s
-        (see ``CompiledBlock.apply_seq``). Use for inference/eval
-        throughput; training keeps :meth:`forward`'s step scan, whose
-        ``jax.checkpoint`` keeps BPTT memory O(state) rather than
-        O(T x activations).
+        per sequence instead of once per step — and plain LIF/LI cells
+        run as single Pallas kernels with (v, i) resident in VMEM for
+        the whole T loop (see ``CompiledBlock.apply_seq``). With
+        ``train=True`` and ``self.remat``, conv->norm->cell segments
+        are wrapped in ``jax.checkpoint`` so BPTT saves only
+        segment-boundary activations — the time-batched training
+        schedule (``Trainer(time_batched=True)``), which avoids the
+        step scan's per-step neuron-state HBM round trips: the win at
+        state-heavy geometries like 1Mpx, measured in
+        ``benchmarks/bench_1mpx_train.py``.
 
         :param X: [T, B, H, W, C] event frames.
         :param start_step: steps t < start_step are skipped (state and
@@ -515,11 +519,13 @@ class SODa:
         if state is None:
             state = self.init_state(B)
         if isinstance(start_step, int) and start_step == 0:
-            mask = None
+            mask, r = None, None
         else:
             mask = jnp.arange(T) >= start_step
-        ctx = C.Ctx(train=train, step_mask=mask,
-                    fuse=self.fuse_seq and not train)
+            r = jnp.asarray(start_step, jnp.int32)
+        ctx = C.Ctx(train=train, step_mask=mask, start_step=r,
+                    fuse=self.fuse_seq and not train,
+                    remat_seq=self.remat and train)
         x = X.astype(self.compute_dtype)
 
         new_stats: Dict[str, Any] = {}

@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -123,8 +124,10 @@ _V_LEAK = 0.0
 
 
 def _temporal_kernel(cell, block_t):
-    def kernel(x_ref, v0_ref, i0_ref, z_ref, vT_ref, iT_ref, v_s, i_s):
+    def kernel(r_ref, x_ref, v0_ref, i0_ref, z_ref, vT_ref, iT_ref,
+               v_s, i_s):
         t = pl.program_id(1)
+        r = r_ref[0, 0]  # truncation start: state frozen for t < r
 
         @pl.when(t == 0)
         def _():
@@ -144,17 +147,23 @@ def _temporal_kernel(cell, block_t):
                 v_dec = v + _DT * _TAU_MEM_INV * ((_V_LEAK - v) + i)
                 i_dec = i - _DT * _TAU_SYN_INV * i
                 spike = v_dec - _V_TH > 0
-                v = jnp.where(spike, 0.0, v_dec)
-                i = i_dec + x
+                v_new = jnp.where(spike, 0.0, v_dec)
+                i_new = i_dec + x
                 out = spike
             else:  # "li": current jump BEFORE the voltage update (li_step)
                 i_jump = i + x
-                v = v + _DT * _TAU_MEM_INV * ((_V_LEAK - v) + i_jump)
-                i = i_jump - _DT * _TAU_SYN_INV * i_jump
-                out = v
+                v_new = v + _DT * _TAU_MEM_INV * ((_V_LEAK - v) + i_jump)
+                i_new = i_jump - _DT * _TAU_SYN_INV * i_jump
+                out = v_new
             # mirror the scan path's per-step state quantization
-            v = v.astype(v_s.dtype).astype(jnp.float32)
-            i = i.astype(i_s.dtype).astype(jnp.float32)
+            v_new = v_new.astype(v_s.dtype).astype(jnp.float32)
+            i_new = i_new.astype(i_s.dtype).astype(jnp.float32)
+            # truncation gate: output is the candidate either way (the
+            # masked scan also emits the cell output computed from the
+            # frozen state), but the state only commits once t >= r.
+            active = t * block_t + k >= r
+            v = jnp.where(active, v_new, v)
+            i = jnp.where(active, i_new, i)
             z_ref[k] = out.astype(z_ref.dtype)
         v_s[:] = v.astype(v_s.dtype)
         i_s[:] = i.astype(i_s.dtype)
@@ -167,10 +176,8 @@ def _temporal_kernel(cell, block_t):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cell", "block_t", "interpret")
-)
-def _temporal_cell_seq_fwd_impl(x_seq, v0, i0, cell, block_t, interpret):
+def _temporal_pallas_core(x_seq, v0, i0, r_arr, cell, block_t, interpret):
+    """The pallas_call on (the local shard of) the sequence."""
     T = x_seq.shape[0]
     step_shape = x_seq.shape[1:]
     c = step_shape[-1]
@@ -200,7 +207,10 @@ def _temporal_cell_seq_fwd_impl(x_seq, v0, i0, cell, block_t, interpret):
     z2, vT, iT = pl.pallas_call(
         _temporal_kernel(cell, bt),
         grid=grid,
-        in_specs=[seq_spec, state_spec, state_spec],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            seq_spec, state_spec, state_spec,
+        ],
         out_specs=[seq_spec, state_spec, state_spec],
         out_shape=[
             jax.ShapeDtypeStruct((T, m, c), x_seq.dtype),
@@ -212,7 +222,7 @@ def _temporal_cell_seq_fwd_impl(x_seq, v0, i0, cell, block_t, interpret):
             pltpu.VMEM((r, c), i0.dtype),
         ],
         interpret=interpret,
-    )(x2, v2, i2)
+    )(r_arr, x2, v2, i2)
     return (
         z2.reshape(x_seq.shape),
         vT.reshape(step_shape),
@@ -220,10 +230,90 @@ def _temporal_cell_seq_fwd_impl(x_seq, v0, i0, cell, block_t, interpret):
     )
 
 
-def _temporal_scan_reference(x_seq, v0, i0, cell):
+@functools.lru_cache(maxsize=None)
+def _partitioned_temporal(cell, block_t, interpret, ndim):
+    """GSPMD-partitionable wrapper around the temporal kernel.
+
+    A Mosaic custom call has no built-in partitioning rule, so under a
+    sharded mesh GSPMD would otherwise all-gather the full [T, B, H,
+    W, C] sequence onto every device. The cell is elementwise over
+    every non-time axis, so the correct partitioning is trivial: each
+    device runs the kernel on its local rows. Declared via
+    custom_partitioning with an einsum-style rule (shardy) +
+    operand-sharding inference (GSPMD fallback); the time axis and the
+    (1, 1) truncation scalar stay replicated."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def fwd(x_seq, v0, i0, r_arr):
+        return _temporal_pallas_core(
+            x_seq, v0, i0, r_arr, cell, block_t, interpret
+        )
+
+    def _x_specs(mesh, arg_shapes):
+        x_sh = arg_shapes[0].sharding
+        spec = (
+            tuple(x_sh.spec) if isinstance(x_sh, NamedSharding) else ()
+        )
+        spec += (None,) * (ndim - len(spec))
+        step = P(*spec[1:])
+        return (
+            NamedSharding(mesh, P(None, *spec[1:])),  # z (t replicated)
+            NamedSharding(mesh, step),                # vT / iT
+        )
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        z_sh, st_sh = _x_specs(mesh, arg_shapes)
+        return (z_sh, st_sh, st_sh)
+
+    def partition(mesh, arg_shapes, result_shape):
+        z_sh, st_sh = _x_specs(mesh, arg_shapes)
+        rep2 = NamedSharding(mesh, P(None, None))
+
+        def lower(x_seq, v0, i0, r_arr):
+            return _temporal_pallas_core(
+                x_seq, v0, i0, r_arr, cell, block_t, interpret
+            )
+
+        return (
+            mesh,
+            lower,
+            (z_sh, st_sh, st_sh),
+            (z_sh, st_sh, st_sh, rep2),
+        )
+
+    # einsum-like factor rule: every non-time axis of the sequence is
+    # shared with the states and outputs (shardable); t and the scalar
+    # are their own factors.
+    dims = " ".join(f"d{k}" for k in range(ndim - 1))
+    rule = (
+        f"t {dims}, {dims}, {dims}, p q -> t {dims}, {dims}, {dims}"
+    )
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=rule,
+    )
+    return fwd
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cell", "block_t", "interpret")
+)
+def _temporal_cell_seq_fwd_impl(x_seq, v0, i0, start, cell, block_t,
+                                interpret):
+    r_arr = jnp.asarray(start, jnp.int32).reshape(1, 1)
+    return _partitioned_temporal(cell, block_t, interpret, x_seq.ndim)(
+        x_seq, v0, i0, r_arr
+    )
+
+
+def _temporal_scan_reference(x_seq, v0, i0, start, cell):
     """lax.scan implementation with identical numerics (fp32 math,
-    state_dtype storage); used for the backward pass — its VJP carries
-    the SuperSpike surrogate gradient from ops/neurons."""
+    state_dtype storage, ``start``-gated truncation); used for the
+    backward pass — its VJP carries the SuperSpike surrogate gradient
+    from ops/neurons."""
     from snn_for_object_detection_tpu.ops import neurons
 
     state_dtype = v0.dtype
@@ -232,39 +322,48 @@ def _temporal_scan_reference(x_seq, v0, i0, cell):
     else:
         step, state_t = neurons.li_step, neurons.LIState
 
-    def body(st, x_t):
+    T = x_seq.shape[0]
+    keep = jnp.arange(T) >= start
+
+    def body(st, inp):
+        x_t, k_t = inp
         st32 = jax.tree.map(lambda a: a.astype(jnp.float32), st)
         out, new = step(x_t.astype(jnp.float32), st32)
         new = jax.tree.map(lambda a: a.astype(state_dtype), new)
+        # truncation gate mirroring compile._masked_state: the output
+        # is emitted either way; the state only commits once t >= start
+        new = jax.tree.map(lambda n, o: jnp.where(k_t, n, o), new, st)
         return new, out.astype(x_t.dtype)
 
-    state, z = jax.lax.scan(body, state_t(v0, i0), x_seq)
+    state, z = jax.lax.scan(body, state_t(v0, i0), (x_seq, keep))
     return z, state.v, state.i
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _temporal_cell_seq(x_seq, v0, i0, cell, block_t, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _temporal_cell_seq(x_seq, v0, i0, start, cell, block_t, interpret):
     return _temporal_cell_seq_fwd_impl(
-        x_seq, v0, i0, cell, block_t, interpret
+        x_seq, v0, i0, start, cell, block_t, interpret
     )
 
 
-def _temporal_fwd(x_seq, v0, i0, cell, block_t, interpret):
+def _temporal_fwd(x_seq, v0, i0, start, cell, block_t, interpret):
     out = _temporal_cell_seq_fwd_impl(
-        x_seq, v0, i0, cell, block_t, interpret
+        x_seq, v0, i0, start, cell, block_t, interpret
     )
-    return out, (x_seq, v0, i0)
+    return out, (x_seq, v0, i0, start)
 
 
 def _temporal_bwd(cell, block_t, interpret, res, cts):
     # Backward recomputes via the scan reference (same numerics); BPTT
     # memory matches the plain scan path.
-    x_seq, v0, i0 = res
+    x_seq, v0, i0, start = res
     _, vjp = jax.vjp(
-        lambda x, v, i: _temporal_scan_reference(x, v, i, cell),
+        lambda x, v, i: _temporal_scan_reference(x, v, i, start, cell),
         x_seq, v0, i0,
     )
-    return vjp(cts)
+    # `start` is an int32 scalar: its cotangent is the float0 zero
+    ct_start = np.zeros(np.shape(start), dtype=jax.dtypes.float0)
+    return (*vjp(cts), ct_start)
 
 
 _temporal_cell_seq.defvjp(_temporal_fwd, _temporal_bwd)
@@ -277,6 +376,7 @@ def temporal_cell_seq(
     cell: str = "lif",
     block_t: int = 8,
     interpret: bool | None = None,
+    start: jax.Array | int = 0,
 ):
     """Whole-layer temporal LIF/LI: ``(z_seq, v_T, i_T)`` in one HBM
     pass, state resident in VMEM across the T loop.
@@ -286,12 +386,19 @@ def temporal_cell_seq(
     otherwise). Differentiable: the
     backward pass recomputes through the scan reference, preserving the
     SuperSpike surrogate gradient.
+
+    :param start: Traced truncation scalar r — the state is frozen for
+        steps t < r (outputs still emitted from the frozen state),
+        matching the masked scan path of the detector's random-start
+        BPTT truncation (soda.py:149 analogue). 0 = no truncation.
     """
     if cell not in ("lif", "li"):
         raise ValueError(f"unsupported cell {cell!r}")
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    return _temporal_cell_seq(x_seq, v0, i0, cell, block_t, interpret)
+    start = jnp.asarray(start, jnp.int32)
+    return _temporal_cell_seq(x_seq, v0, i0, start, cell, block_t,
+                              interpret)
 
 
 def xla_pointwise_conv_bn_lif(x, w, a, b, v, i):

@@ -91,6 +91,11 @@ class Trainer:
         smaller than the chip count — 1Mpx training at B=2-4 on a
         v5e-8 — still use every chip (GSPMD halo-exchanges conv
         shard edges automatically). Ignored when ``mesh`` is given.
+    :param time_batched: Train through ``model.forward_seq`` — convs
+        folded over T*B, LIF/LI cells as single VMEM-resident Pallas
+        kernels, conv->norm->cell segments rematerialized — instead of
+        the per-step scan. The throughput schedule for state-heavy
+        geometries (1Mpx); identical math (same loss, same gradients).
     """
 
     def __init__(
@@ -116,6 +121,7 @@ class Trainer:
         limit_predict_batches: int = 1,
         prefetch_batches: int = 2,
         spatial_devices: int = 1,
+        time_batched: bool = False,
         optimizer: Any = "adamax",
         lr_schedule: Optional[Dict[str, Any]] = None,
         logger: Any = None,
@@ -154,6 +160,14 @@ class Trainer:
         # (background host->device transfer; 0 = synchronous)
         self.prefetch_batches = prefetch_batches
         self.spatial_devices = max(int(spatial_devices), 1)
+        # Time-batched training schedule: the train step runs
+        # model.forward_seq (convs folded over T*B, Pallas temporal
+        # cells, segment-level remat) instead of the per-step scan.
+        # Wins where neuron-state HBM traffic dominates (1Mpx); the
+        # step scan stays default (faster at GEN1 geometry, where XLA
+        # fuses each cell update into its producer conv's epilogue —
+        # docs/perf.md "time-batched").
+        self.time_batched = bool(time_batched)
         # Optimizer surface (beyond the reference's fixed Adamax,
         # soda.py:135-136): any optax factory by name ("adamax",
         # "adamw", "sgd", ...) or {"name": ..., **kwargs}; optional LR
@@ -408,6 +422,8 @@ class Trainer:
         feat_sh = feature_sharding(self.mesh)
         lab_sh = batch_sharding(self.mesh, 0)
 
+        fwd = model.forward_seq if self.time_batched else model.forward
+
         def train_step(params, opt_state, stats, X, labels, key):
             r = (
                 jax.random.randint(key, (), 0, model.time_window)
@@ -416,7 +432,7 @@ class Trainer:
             )
 
             def loss_fn(p, stats):
-                preds, new_stats, _ = model.forward(
+                preds, new_stats, _ = fwd(
                     p, stats, X, start_step=r, train=True
                 )
                 return model.loss(preds, labels), new_stats

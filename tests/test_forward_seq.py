@@ -104,6 +104,34 @@ def test_forward_seq_streaming_continuation(setup):
     _assert_tree_close(state_full, state_2, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("start", [0, 3])
+def test_forward_seq_train_grads_match_step_scan(setup, start):
+    """Time-batched TRAINING (Trainer(time_batched=True)): the full
+    train-path gradient — SSD loss through forward_seq with remat
+    segments, Pallas masked temporal cells, traced truncation — must
+    equal the step scan's, along with the loss and new BN stats."""
+    m, params, stats, X = setup
+    B = X.shape[1]
+    labels = np.full((B, 2, 5), -1.0, np.float32)
+    labels[:, 0] = [0, 0.2, 0.2, 0.6, 0.6]
+    labels = jnp.asarray(labels)
+    r = jnp.asarray(start, jnp.int32)
+
+    def make(fwd):
+        def loss_fn(p, stats):
+            preds, new_stats, _ = fwd(p, stats, X, start_step=r,
+                                      train=True)
+            return m.loss(preds, labels), new_stats
+
+        return jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+    (l1, s1), g1 = make(m.forward)(params, stats)
+    (l2, s2), g2 = make(m.forward_seq)(params, stats)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    _assert_tree_close(s1, s2, rtol=1e-5, atol=1e-7)
+    _assert_tree_close(g1, g2, rtol=1e-4, atol=1e-6)
+
+
 def test_forward_seq_jit_and_grad(setup):
     """forward_seq composes with jit and grad (eval-throughput path is
     jitted; grads exist even if training keeps the step scan)."""

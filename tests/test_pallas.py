@@ -135,3 +135,85 @@ def test_spiking_conv_seq_multi_image_blocks(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(vf), np.asarray(vr),
                                rtol=1e-4, atol=1e-5)
+
+
+# Temporal LIF/LI kernel: whole-T loop with VMEM-resident state and a
+# truncation gate (the traced random-start BPTT window)
+
+
+def test_temporal_cell_seq_truncation_matches_masked_scan(rng):
+    """temporal_cell_seq(start=r): state frozen for t < r, outputs
+    emitted from the frozen state — bit-identical to the masked scan,
+    forward AND backward (custom VJP recomputes through the scan with
+    the same gate), including a traced r under jit."""
+    from snn_for_object_detection_tpu.ops import pallas_kernels as pk
+
+    T, m, c = 8, 16, 8
+    x = jnp.asarray(rng.normal(size=(T, m, c)) * 2, jnp.float32)
+    v0 = jnp.zeros((m, c))
+    i0 = jnp.zeros((m, c))
+    for cell in ("lif", "li"):
+        for r in (0, 3, 7):
+            z1, v1, i1 = jax.jit(
+                lambda x, r, cell=cell: pk.temporal_cell_seq(
+                    x, v0, i0, cell=cell, start=r
+                )
+            )(x, jnp.int32(r))
+            z2, v2, i2 = pk._temporal_scan_reference(x, v0, i0, r, cell)
+            np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+            g1 = jax.grad(
+                lambda x: pk.temporal_cell_seq(
+                    x, v0, i0, cell=cell, start=r
+                )[0].sum()
+            )(x)
+            g2 = jax.grad(
+                lambda x: pk._temporal_scan_reference(
+                    x, v0, i0, r, cell
+                )[0].sum()
+            )(x)
+            np.testing.assert_allclose(
+                np.asarray(g1), np.asarray(g2), rtol=1e-6
+            )
+
+
+def test_temporal_cell_seq_partitions_without_gather(rng):
+    """Under a sharded 2-D (data x space) mesh the temporal kernel must
+    run shard-local (custom_partitioning rule): identical numerics to
+    the scan reference, sharded output, and NO all-gather of the
+    [T, B, H, W, C] sequence in the compiled module."""
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from snn_for_object_detection_tpu.ops import pallas_kernels as pk
+    from snn_for_object_detection_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8], spatial=2)
+    T, B, H, W, C = 8, 4, 16, 8, 8
+    x = jnp.asarray(rng.normal(size=(T, B, H, W, C)) * 2, jnp.float32)
+    v0 = jnp.zeros((B, H, W, C))
+    i0 = jnp.zeros((B, H, W, C))
+    x_sh = NamedSharding(mesh, P(None, "data", "space"))
+    st_sh = NamedSharding(mesh, P("data", "space"))
+    f = jax.jit(
+        lambda x, v, i, r: pk.temporal_cell_seq(
+            x, v, i, cell="lif", start=r
+        ),
+        in_shardings=(x_sh, st_sh, st_sh, None),
+    )
+    xd = jax.device_put(x, x_sh)
+    vd = jax.device_put(v0, st_sh)
+    id_ = jax.device_put(i0, st_sh)
+    z, vT, iT = f(xd, vd, id_, jnp.int32(3))
+    z2, v2, i2 = pk._temporal_scan_reference(x, v0, i0, 3, "lif")
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+    np.testing.assert_array_equal(np.asarray(vT), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(iT), np.asarray(i2))
+    assert z.sharding.spec == P(None, "data", "space")
+    hlo = f.lower(xd, vd, id_, jnp.int32(3)).compile().as_text()
+    assert "all-gather" not in hlo, "sequence was gathered off-shard"

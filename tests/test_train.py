@@ -72,6 +72,33 @@ def test_fit_one_epoch_and_resume(synth_root, tmp_path):
     assert result2["epoch"] == 2
 
 
+def test_time_batched_trainer_matches_step_scan(synth_root, tmp_path):
+    """Trainer(time_batched=True) — the forward_seq training schedule —
+    must produce the same per-step losses as the default step scan
+    (same seed, same data, same truncation draws)."""
+    import json
+
+    losses = {}
+    for name, tb in (("step", False), ("seq", True)):
+        model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=3)
+        trainer = Trainer(
+            max_epochs=1, limit_train_batches=3, check_val_every_n_epoch=100,
+            out_dir=str(tmp_path / f"tb_{name}"), log_every_n_steps=1,
+            seed=0, time_batched=tb,
+        )
+        trainer.fit(model, make_dm(synth_root))
+        losses[name] = [
+            rec["train_loss"]
+            for rec in map(
+                json.loads,
+                open(os.path.join(trainer.out_dir, "metrics.jsonl")),
+            )
+            if "train_loss" in rec
+        ]
+    assert losses["step"], "no train losses logged"
+    np.testing.assert_allclose(losses["seq"], losses["step"], rtol=1e-4)
+
+
 def test_training_reduces_loss(synth_root, tmp_path):
     """Overfit smoke test: a few steps on the synthetic stream must
     reduce the training loss (SURVEY.md §4 test plan)."""
