@@ -30,13 +30,14 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def make_train_step(model, optimizer, mesh):
+def make_train_step(model, optimizer, mesh, time_batched=False):
     rep = replicated(mesh)
     feat_sh = feature_sharding(mesh)
+    fwd = model.forward_seq if time_batched else model.forward
 
     def train_step(params, opt_state, stats, X, labels):
         def loss_fn(p, stats):
-            preds, new_stats, _ = model.forward(p, stats, X, train=True)
+            preds, new_stats, _ = fwd(p, stats, X, train=True)
             return model.loss(preds, labels), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -110,6 +111,51 @@ def test_spatial_sharded_train_step_matches_single_device(rng):
     np.testing.assert_allclose(l1, l8, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_spatial_sharded_time_batched_train_step(rng):
+    """The time-batched training schedule (forward_seq: folded convs +
+    partitioned Pallas temporal cells + segment remat) on the same
+    (data=2 x space=4) mesh — the 1Mpx multi-chip training config —
+    must match one device. Compared at the LOSS + GRADIENT level: the
+    folded convs reduce dL/dw over T*B*H*W in one pass, so shard
+    partial-sum ordering perturbs near-zero gradient elements at fp32
+    epsilon — enough to flip Adamax's step-0 sign update, which is why
+    this test (unlike its step-scan sibling) does not compare params
+    after an optimizer step."""
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=0)
+    params, stats = model.init(jax.random.PRNGKey(0))
+
+    T, B = 4, 2
+    X = (rng.random((T, B, 32, 40, 2)) < 0.5).astype(np.float32)
+    labels = np.full((B, 2, 5), -1.0, np.float32)
+    labels[:, 0] = [0, 0.2, 0.2, 0.6, 0.6]
+    labels_j = jnp.asarray(labels)
+
+    def loss_fn(p, stats, X):
+        preds, new_stats, _ = model.forward_seq(p, stats, X, train=True)
+        return model.loss(preds, labels_j), new_stats
+
+    results = {}
+    for name, mesh in (
+        ("single", make_mesh(jax.devices()[:1])),
+        ("dp2_sp4", make_mesh(jax.devices()[:8], spatial=4)),
+    ):
+        rep = replicated(mesh)
+        step = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True),
+            in_shardings=(rep, rep, feature_sharding(mesh)),
+            out_shardings=((rep, rep), rep),
+        )
+        Xd, _ = shard_batch(mesh, X, labels)
+        (loss, _), grads = step(params, stats, Xd)
+        results[name] = (jax.device_get(grads), float(loss))
+
+    g1, l1 = results["single"]
+    g8, l8 = results["dp2_sp4"]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
 
 
 def test_trainer_spatial_mesh_geometry():
