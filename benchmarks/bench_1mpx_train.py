@@ -43,7 +43,11 @@ NUM_CLASSES = 7
 
 def make_step(model, time_batched=False):
     optimizer = optax.adamax(model.learning_rate)
-    fwd = model.forward_seq if time_batched else model.forward
+    fwd = {
+        False: model.forward,
+        True: model.forward_seq,
+        "hybrid": model.forward_hybrid,
+    }[time_batched]
 
     def train_step(params, opt_state, stats, X, labels, key):
         r = jax.random.randint(key, (), 0, max(model.time_window, 1))
@@ -125,6 +129,10 @@ def main():
                                         remat=False, time_batched=True),
         "seq_fp8_states": dict(state_dtype=jnp.float8_e4m3fn,
                                time_batched=True),
+        # hybrid: time-batched backbone (the 720p/360p state-heavy
+        # stages) + per-step neck/heads
+        "hybrid_bf16_states": dict(state_dtype=jnp.bfloat16,
+                                   time_batched="hybrid"),
     }
     results = {}
     for name, kwargs in variants.items():

@@ -47,7 +47,11 @@ def measure(T, B, time_batched, **model_kwargs):
     labels[:, 0] = [0, 0.2, 0.2, 0.6, 0.6]
     labels = jnp.asarray(labels)
 
-    fwd = model.forward_seq if time_batched else model.forward
+    fwd = {
+        False: model.forward,
+        True: model.forward_seq,
+        "hybrid": model.forward_hybrid,
+    }[time_batched]
 
     def train_step(params, opt_state, stats, X, labels, key):
         r = jax.random.randint(key, (), 0, model.time_window)
@@ -95,6 +99,8 @@ def main():
         ("step_scan_bf16_states", False,
          dict(compute_dtype=jnp.bfloat16, state_dtype=jnp.bfloat16)),
         ("time_batched_bf16_states", True,
+         dict(compute_dtype=jnp.bfloat16, state_dtype=jnp.bfloat16)),
+        ("hybrid_bf16_states", "hybrid",
          dict(compute_dtype=jnp.bfloat16, state_dtype=jnp.bfloat16)),
     ):
         try:

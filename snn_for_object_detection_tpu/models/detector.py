@@ -307,12 +307,26 @@ class SODa:
     ) -> Tuple[Tuple[Array, ...], Any, Any]:
         """Backbone + neck + head stems for one frame; box/cls tails
         deferred (their stats/state pass through untouched)."""
-        new_stats: Dict[str, Any] = {}
-        new_state: Dict[str, Any] = {}
         x = x.astype(self.compute_dtype)
-        y, new_stats["backbone"], new_state["backbone"] = self.backbone.apply(
+        y, nb_stats, nb_state = self.backbone.apply(
             params["backbone"], stats["backbone"], state["backbone"], x, ctx
         )
+        base_outs, new_stats, new_state = self._neck_heads(
+            params, stats, state, y, ctx
+        )
+        new_stats["backbone"] = nb_stats
+        new_state["backbone"] = nb_state
+        return base_outs, new_stats, new_state
+
+    def _neck_heads(
+        self, params: Any, stats: Any, state: Any, y: Array, ctx: C.Ctx
+    ) -> Tuple[Tuple[Array, ...], Any, Any]:
+        """Neck + head stems for one (post-backbone) frame — the
+        per-step suffix of :meth:`_trunk`, also the scanned phase of
+        :meth:`forward_hybrid`. Returned stats/state dicts cover the
+        neck and head subtrees only."""
+        new_stats: Dict[str, Any] = {}
+        new_state: Dict[str, Any] = {}
         _, new_stats["neck"], new_state["neck"] = self.neck.apply(
             params["neck"], stats["neck"], state["neck"], y, ctx
         )
@@ -581,6 +595,136 @@ class SODa:
         cls_preds = jnp.concatenate(cls_list, axis=1)
         bbox_preds = jnp.concatenate(box_list, axis=1)
         return (cls_preds, bbox_preds), new_stats, new_state
+
+    # ----- hybrid sequence forward -----
+
+    def forward_hybrid(
+        self,
+        params: Any,
+        stats: Any,
+        X: Array,
+        start_step: Array | int = 0,
+        train: bool = False,
+        state: Optional[Any] = None,
+    ) -> Tuple[Tuple[Array, Array], Any, Any]:
+        """Mixed schedule, identical results to :meth:`forward`: the
+        BACKBONE runs time-batched (folded convs, VMEM-resident Pallas
+        temporal cells, segment remat — where the big early feature
+        maps dominate HBM state traffic, e.g. 1Mpx stage 1/2) and the
+        NECK + HEADS run as the per-step scan (where XLA's
+        cell-into-conv-epilogue fusion wins at small spatial dims —
+        docs/perf.md "time-batched"). ``Trainer(time_batched="hybrid")``.
+        """
+        T, B = X.shape[0], X.shape[1]
+        params = self._cast_weights(params)
+        if state is None:
+            state = self.init_state(B)
+
+        # phase A: backbone, time-batched over the whole sequence
+        if isinstance(start_step, int) and start_step == 0:
+            mask, r = None, None
+        else:
+            mask = jnp.arange(T) >= start_step
+            r = jnp.asarray(start_step, jnp.int32)
+        ctx_a = C.Ctx(train=train, step_mask=mask, start_step=r,
+                      remat_seq=self.remat and train)
+        y_seq, nb_stats, nb_state = self.backbone.apply_seq(
+            params["backbone"], stats["backbone"], state["backbone"],
+            X.astype(self.compute_dtype), ctx_a,
+        )
+
+        # phase B: neck + heads, per-step scan (forward's structure)
+        deferred = self._head_tails_light
+        if deferred:
+            carry0 = tuple(
+                jnp.zeros(
+                    (B, *h["base"].out_hw, h["base"].out_channels),
+                    self.compute_dtype,
+                )
+                for h in self.heads
+            )
+        else:
+            carry0 = (
+                jnp.zeros(
+                    (B, self.num_anchors, self.num_classes + 1), jnp.float32
+                ),
+                jnp.zeros((B, self.num_anchors, 4), jnp.float32),
+            )
+        static_full = isinstance(start_step, int) and start_step == 0
+
+        def run_step(stats_nh, state_nh, y_t):
+            ctx = C.Ctx(train=train)
+            base_outs, s2, st2 = self._neck_heads(
+                params, stats_nh, state_nh, y_t, ctx
+            )
+            if deferred:
+                return s2, st2, base_outs
+            cls_list, box_list = [], []
+            for idx, base_out in enumerate(base_outs):
+                hp = params[f"head{idx}"]
+                head = self.heads[idx]
+                box_out, ns_box, nst_box = head["box"].apply(
+                    hp["box"], stats_nh[f"head{idx}"]["box"],
+                    state_nh[f"head{idx}"]["box"], base_out, ctx
+                )
+                cls_out, ns_cls, nst_cls = head["cls"].apply(
+                    hp["cls"], stats_nh[f"head{idx}"]["cls"],
+                    state_nh[f"head{idx}"]["cls"], base_out, ctx
+                )
+                s2[f"head{idx}"]["box"] = ns_box
+                s2[f"head{idx}"]["cls"] = ns_cls
+                st2[f"head{idx}"]["box"] = nst_box
+                st2[f"head{idx}"]["cls"] = nst_cls
+                box_list.append(box_out.reshape(B, -1, 4))
+                cls_list.append(
+                    cls_out.reshape(B, -1, self.num_classes + 1)
+                )
+            return s2, st2, (
+                jnp.concatenate(cls_list, axis=1).astype(jnp.float32),
+                jnp.concatenate(box_list, axis=1).astype(jnp.float32),
+            )
+
+        if static_full:
+            def body(carry, y_t):
+                stats_nh, state_nh, _ = carry
+                stats_nh, state_nh, out = run_step(stats_nh, state_nh, y_t)
+                return (stats_nh, state_nh, out), None
+
+            xs = y_seq
+        else:
+            def body(carry, inp):
+                stats_nh, state_nh, out = carry
+                y_t, t = inp
+                stats_nh, state_nh, out = jax.lax.cond(
+                    t >= start_step,
+                    lambda _: run_step(stats_nh, state_nh, y_t),
+                    lambda _: (stats_nh, state_nh, out),
+                    None,
+                )
+                return (stats_nh, state_nh, out), None
+
+            xs = (y_seq, jnp.arange(T))
+
+        if self.remat:
+            body = jax.checkpoint(body)
+
+        stats_nh0 = {k: v for k, v in stats.items() if k != "backbone"}
+        state_nh0 = {k: v for k, v in state.items() if k != "backbone"}
+        (stats_nh, state_nh, out), _ = jax.lax.scan(
+            body, (stats_nh0, state_nh0, carry0), xs,
+            unroll=self.scan_unroll,
+        )
+        if deferred:
+            ctx = C.Ctx(train=train)
+            cls_p, box_p = self._tail_readout(params, stats, state, out, ctx)
+            preds = (cls_p.astype(jnp.float32), box_p.astype(jnp.float32))
+        else:
+            preds = out
+        new_stats = dict(stats_nh)
+        new_state = dict(state_nh)
+        new_stats["backbone"] = nb_stats
+        new_state["backbone"] = nb_state
+        return preds, new_stats, new_state
 
     # ----- loss (soda.py:259-281) -----
 

@@ -91,11 +91,15 @@ class Trainer:
         smaller than the chip count — 1Mpx training at B=2-4 on a
         v5e-8 — still use every chip (GSPMD halo-exchanges conv
         shard edges automatically). Ignored when ``mesh`` is given.
-    :param time_batched: Train through ``model.forward_seq`` — convs
-        folded over T*B, LIF/LI cells as single VMEM-resident Pallas
-        kernels, conv->norm->cell segments rematerialized — instead of
-        the per-step scan. The throughput schedule for state-heavy
-        geometries (1Mpx); identical math (same loss, same gradients).
+    :param time_batched: ``True`` trains through ``model.forward_seq``
+        — convs folded over T*B, LIF/LI cells as single VMEM-resident
+        Pallas kernels, conv->norm->cell segments rematerialized —
+        instead of the per-step scan; ``"hybrid"`` time-batches only
+        the backbone (the big early feature maps) and scans the
+        neck/heads per step (``model.forward_hybrid``). All three
+        schedules are identical math (same loss, same gradients);
+        pick by measurement (benchmarks/bench_train.py,
+        benchmarks/bench_1mpx_train.py).
     """
 
     def __init__(
@@ -166,8 +170,14 @@ class Trainer:
         # Wins where neuron-state HBM traffic dominates (1Mpx); the
         # step scan stays default (faster at GEN1 geometry, where XLA
         # fuses each cell update into its producer conv's epilogue —
-        # docs/perf.md "time-batched").
-        self.time_batched = bool(time_batched)
+        # docs/perf.md "time-batched"). "hybrid" = time-batched
+        # backbone + per-step neck/heads (model.forward_hybrid).
+        if time_batched not in (False, True, "hybrid"):
+            raise ValueError(
+                f"time_batched must be False, True or 'hybrid', "
+                f"got {time_batched!r}"
+            )
+        self.time_batched = time_batched
         # Optimizer surface (beyond the reference's fixed Adamax,
         # soda.py:135-136): any optax factory by name ("adamax",
         # "adamw", "sgd", ...) or {"name": ..., **kwargs}; optional LR
@@ -422,7 +432,11 @@ class Trainer:
         feat_sh = feature_sharding(self.mesh)
         lab_sh = batch_sharding(self.mesh, 0)
 
-        fwd = model.forward_seq if self.time_batched else model.forward
+        fwd = {
+            False: model.forward,
+            True: model.forward_seq,
+            "hybrid": model.forward_hybrid,
+        }[self.time_batched]
 
         def train_step(params, opt_state, stats, X, labels, key):
             r = (

@@ -105,11 +105,13 @@ def test_forward_seq_streaming_continuation(setup):
 
 
 @pytest.mark.parametrize("start", [0, 3])
-def test_forward_seq_train_grads_match_step_scan(setup, start):
-    """Time-batched TRAINING (Trainer(time_batched=True)): the full
-    train-path gradient — SSD loss through forward_seq with remat
-    segments, Pallas masked temporal cells, traced truncation — must
-    equal the step scan's, along with the loss and new BN stats."""
+@pytest.mark.parametrize("schedule", ["forward_seq", "forward_hybrid"])
+def test_forward_seq_train_grads_match_step_scan(setup, start, schedule):
+    """Time-batched TRAINING (Trainer(time_batched=True/'hybrid')):
+    the full train-path gradient — SSD loss through forward_seq /
+    forward_hybrid with remat segments, Pallas masked temporal cells,
+    traced truncation — must equal the step scan's, along with the
+    loss and new BN stats."""
     m, params, stats, X = setup
     B = X.shape[1]
     labels = np.full((B, 2, 5), -1.0, np.float32)
@@ -126,10 +128,21 @@ def test_forward_seq_train_grads_match_step_scan(setup, start):
         return jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
 
     (l1, s1), g1 = make(m.forward)(params, stats)
-    (l2, s2), g2 = make(m.forward_seq)(params, stats)
+    (l2, s2), g2 = make(getattr(m, schedule))(params, stats)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
     _assert_tree_close(s1, s2, rtol=1e-5, atol=1e-7)
     _assert_tree_close(g1, g2, rtol=1e-4, atol=1e-6)
+
+
+def test_forward_hybrid_matches_forward_eval(setup):
+    """Hybrid schedule at eval: predictions, final state and stats all
+    equal the step scan's (streaming-continuation-safe)."""
+    m, params, stats, X = setup
+    preds_a, stats_a, state_a = m.forward(params, stats, X)
+    preds_b, stats_b, state_b = m.forward_hybrid(params, stats, X)
+    _assert_tree_close(preds_a, preds_b, rtol=1e-5, atol=1e-6)
+    _assert_tree_close(state_a, state_b, rtol=1e-5, atol=1e-6)
+    _assert_tree_close(stats_a, stats_b, rtol=1e-5, atol=1e-6)
 
 
 def test_forward_seq_jit_and_grad(setup):

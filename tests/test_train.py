@@ -79,7 +79,7 @@ def test_time_batched_trainer_matches_step_scan(synth_root, tmp_path):
     import json
 
     losses = {}
-    for name, tb in (("step", False), ("seq", True)):
+    for name, tb in (("step", False), ("seq", True), ("hybrid", "hybrid")):
         model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=3)
         trainer = Trainer(
             max_epochs=1, limit_train_batches=3, check_val_every_n_epoch=100,
@@ -97,6 +97,7 @@ def test_time_batched_trainer_matches_step_scan(synth_root, tmp_path):
         ]
     assert losses["step"], "no train losses logged"
     np.testing.assert_allclose(losses["seq"], losses["step"], rtol=1e-4)
+    np.testing.assert_allclose(losses["hybrid"], losses["step"], rtol=1e-4)
 
 
 def test_training_reduces_loss(synth_root, tmp_path):
