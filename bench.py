@@ -39,7 +39,7 @@ H, W = 240, 304
 # in-process try/except can bound), and back off between attempts.
 # Round-3 lesson: a transient outage zeroed the round's bench.
 PROBE_TIMEOUT_S = 150
-PROBE_BACKOFFS_S = (30, 60, 120, 240, 300)
+PROBE_BACKOFFS_S = (30, 60, 120, 240, 300, 600, 900, 900)
 # Fixed-duration baseline measurement: repeat the torch forward until
 # this much wall clock has elapsed (round-2 lesson: 2 fixed reps swung
 # the ratio 412x -> 562x run-to-run; a >= 30 s window with a pinned

@@ -471,7 +471,10 @@ class Trainer:
                 if model.time_window
                 else 0
             )
-            preds, _, _ = model.forward(params, stats, X, start_step=r)
+            # eval follows the same schedule as training (the schedules
+            # are numerically equivalent; whichever is faster for the
+            # geometry is faster for eval too)
+            preds, _, _ = fwd(params, stats, X, start_step=r)
             loss = model.loss(preds, labels)
             dets = model.detect(preds)
             return loss, dets

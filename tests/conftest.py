@@ -20,7 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# SNN_TEST_PLATFORM=default leaves the interpreter's backend alone
+# (the real chip via the axon tunnel) — required for chip-gated runs
+# like `RUN_TRAIN_GATE=1` (scripts/run_chip_queue.sh); everything else
+# tests on the 8-device virtual CPU mesh.
+if os.environ.get("SNN_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

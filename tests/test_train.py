@@ -79,25 +79,31 @@ def test_time_batched_trainer_matches_step_scan(synth_root, tmp_path):
     import json
 
     losses = {}
+    val_losses = {}
     for name, tb in (("step", False), ("seq", True), ("hybrid", "hybrid")):
         model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=3)
         trainer = Trainer(
-            max_epochs=1, limit_train_batches=3, check_val_every_n_epoch=100,
-            out_dir=str(tmp_path / f"tb_{name}"), log_every_n_steps=1,
-            seed=0, time_batched=tb,
+            max_epochs=1, limit_train_batches=3, check_val_every_n_epoch=1,
+            limit_val_batches=1, out_dir=str(tmp_path / f"tb_{name}"),
+            log_every_n_steps=1, seed=0, time_batched=tb,
         )
         trainer.fit(model, make_dm(synth_root))
-        losses[name] = [
-            rec["train_loss"]
-            for rec in map(
-                json.loads,
-                open(os.path.join(trainer.out_dir, "metrics.jsonl")),
-            )
-            if "train_loss" in rec
+        recs = [
+            json.loads(l)
+            for l in open(os.path.join(trainer.out_dir, "metrics.jsonl"))
         ]
+        losses[name] = [r["train_loss"] for r in recs if "train_loss" in r]
+        val_losses[name] = [r["val_loss"] for r in recs if "val_loss" in r]
     assert losses["step"], "no train losses logged"
     np.testing.assert_allclose(losses["seq"], losses["step"], rtol=1e-4)
     np.testing.assert_allclose(losses["hybrid"], losses["step"], rtol=1e-4)
+    # eval follows the training schedule (loop.py eval_step uses the
+    # same fwd); all three must report the same validation loss
+    assert val_losses["step"], "no val losses logged"
+    np.testing.assert_allclose(val_losses["seq"], val_losses["step"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(val_losses["hybrid"], val_losses["step"],
+                               rtol=1e-4)
 
 
 def test_training_reduces_loss(synth_root, tmp_path):
