@@ -158,6 +158,46 @@ def test_spatial_sharded_time_batched_train_step(rng):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
 
 
+def test_spatial_sharded_hybrid_train_step(rng):
+    """The hybrid schedule (time-batched backbone + per-step neck/heads,
+    ``Trainer(time_batched="hybrid")``) on the (data=2 x space=4) mesh
+    must match one device at the loss + gradient level (same tolerance
+    rationale as the forward_seq sibling above)."""
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=0)
+    params, stats = model.init(jax.random.PRNGKey(0))
+
+    T, B = 4, 2
+    X = (rng.random((T, B, 32, 40, 2)) < 0.5).astype(np.float32)
+    labels = np.full((B, 2, 5), -1.0, np.float32)
+    labels[:, 0] = [0, 0.2, 0.2, 0.6, 0.6]
+    labels_j = jnp.asarray(labels)
+
+    def loss_fn(p, stats, X):
+        preds, new_stats, _ = model.forward_hybrid(p, stats, X, train=True)
+        return model.loss(preds, labels_j), new_stats
+
+    results = {}
+    for name, mesh in (
+        ("single", make_mesh(jax.devices()[:1])),
+        ("dp2_sp4", make_mesh(jax.devices()[:8], spatial=4)),
+    ):
+        rep = replicated(mesh)
+        step = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True),
+            in_shardings=(rep, rep, feature_sharding(mesh)),
+            out_shardings=((rep, rep), rep),
+        )
+        Xd, _ = shard_batch(mesh, X, labels)
+        (loss, _), grads = step(params, stats, Xd)
+        results[name] = (jax.device_get(grads), float(loss))
+
+    g1, l1 = results["single"]
+    g8, l8 = results["dp2_sp4"]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
+
+
 def test_trainer_spatial_mesh_geometry():
     """Trainer(spatial_devices=4) sizes a (data x space) mesh from the
     batch, and live reshape preserves the space extent."""
