@@ -43,11 +43,7 @@ NUM_CLASSES = 7
 
 def make_step(model, time_batched=False):
     optimizer = optax.adamax(model.learning_rate)
-    fwd = {
-        False: model.forward,
-        True: model.forward_seq,
-        "hybrid": model.forward_hybrid,
-    }[time_batched]
+    fwd = model.forward_fn(time_batched)
 
     def train_step(params, opt_state, stats, X, labels, key):
         r = jax.random.randint(key, (), 0, max(model.time_window, 1))

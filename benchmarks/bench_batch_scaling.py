@@ -17,7 +17,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,26 +33,15 @@ GFLOP_PER_FRAME = 7.62
 
 
 def time_forward(model, p, stats, X) -> float:
+    # the headline bench owns the compile-and-time methodology; share
+    # it so the scaling study stays comparable to BENCH_r*.json numbers
+    from bench import time_compiled_forward
+
     def forward(p, stats, X):
         (cls_p, box_p), _, _ = model.forward(p, stats, X)
         return cls_p.sum(), box_p.sum()
 
-    try:
-        from jax.experimental.layout import Format, Layout
-
-        fwd = jax.jit(forward, in_shardings=(None, None, Format(Layout.AUTO)))
-        compiled = fwd.lower(p, stats, X).compile()
-        X = jax.device_put(X, compiled.input_formats[0][2])
-        fwd = compiled
-    except Exception:
-        fwd = jax.jit(forward)
-    s, _ = fwd(p, stats, X)
-    float(s)
-    reps = 10
-    t0 = time.perf_counter()
-    outs = [fwd(p, stats, X) for _ in range(reps)]
-    float(outs[-1][0])
-    return (time.perf_counter() - t0) / reps
+    return time_compiled_forward(forward, p, stats, X)
 
 
 def main():

@@ -47,11 +47,7 @@ def measure(T, B, time_batched, **model_kwargs):
     labels[:, 0] = [0, 0.2, 0.2, 0.6, 0.6]
     labels = jnp.asarray(labels)
 
-    fwd = {
-        False: model.forward,
-        True: model.forward_seq,
-        "hybrid": model.forward_hybrid,
-    }[time_batched]
+    fwd = model.forward_fn(time_batched)
 
     def train_step(params, opt_state, stats, X, labels, key):
         r = jax.random.randint(key, (), 0, model.time_window)

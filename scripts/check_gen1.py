@@ -70,10 +70,11 @@ def check_split(
     for missing in sorted(expect_gt - set(gt_files)):
         problems.append(f"{split}: events without label: {missing}")
 
+    dat_set = set(dat_files)
     pairs = [
         (g, g.replace("_bbox.npy", "_td.dat"))
         for g in gt_files
-        if g.replace("_bbox.npy", "_td.dat") in set(dat_files)
+        if g.replace("_bbox.npy", "_td.dat") in dat_set
     ]
     n_events_total = 0
     n_boxes_total = 0

@@ -8,8 +8,8 @@
 # Usage:  bash scripts/run_chip_queue.sh [outdir]   # default log/chip_r04
 set -u
 OUT=${1:-log/chip_r04}
+cd "$(dirname "$0")/.."   # before mkdir: a relative OUT is repo-rooted
 mkdir -p "$OUT"
-cd "$(dirname "$0")/.."
 
 run() { # run <name> <timeout_s> <cmd...>
   local name=$1 tmo=$2; shift 2
@@ -21,7 +21,10 @@ run() { # run <name> <timeout_s> <cmd...>
 }
 
 # 1. Driver-format headline bench (bf16 states + int8 PTQ composed).
-run bench 1800 python bench.py
+#    The watcher's probe just succeeded, so skip bench.py's own retry
+#    backoffs: one probe, and on failure the last-good replay fires
+#    immediately instead of eating the 1800 s budget.
+run bench 1800 env BENCH_PROBE_BACKOFFS= python bench.py
 
 # 2. int8 PTQ accuracy re-bench after the dequant-precision fix (ad13da0).
 run int8_ptq 1200 python benchmarks/bench_int8_ptq.py

@@ -34,19 +34,31 @@ def parse_queue_log(path: str) -> dict:
 
 
 def json_lines(path: str) -> list:
-    """Every line of the log that parses as a JSON object."""
+    """Every JSON object in the log — single-line records (most
+    benches) AND brace-balanced multi-line blocks (hlo_pass_report.py
+    prints with indent=2)."""
     out = []
+    block: list = []
+    depth = 0
     with open(path) as f:
         for line in f:
-            line = line.strip()
-            if not (line.startswith("{") and line.endswith("}")):
-                continue
-            try:
-                rec = json.loads(line)
-            except ValueError:
-                continue
-            if isinstance(rec, dict):
-                out.append(rec)
+            s = line.strip()
+            if not block:
+                if not s.startswith("{"):
+                    continue
+                block = [line]
+                depth = s.count("{") - s.count("}")
+            else:
+                block.append(line)
+                depth += s.count("{") - s.count("}")
+            if depth <= 0:
+                try:
+                    rec = json.loads("".join(block))
+                    if isinstance(rec, dict):
+                        out.append(rec)
+                except ValueError:
+                    pass
+                block, depth = [], 0
     return out
 
 

@@ -403,6 +403,68 @@ class SODa:
 
     # ----- sequence forward (soda.py:138-144 + 246-257) -----
 
+    def _scan_carry0(self, B: int):
+        """Initial per-step scan carry for the prediction output slot.
+
+        Deferred-tail mode carries the per-scale stem activations (the
+        stateless box/cls tails run ONCE after the scan — bit-identical,
+        only the last step's tail outputs are ever returned); otherwise
+        the concatenated (cls, box) prediction tensors."""
+        if self._head_tails_light:
+            return tuple(
+                jnp.zeros(
+                    (B, *h["base"].out_hw, h["base"].out_channels),
+                    self.compute_dtype,
+                )
+                for h in self.heads
+            )
+        return (
+            jnp.zeros(
+                (B, self.num_anchors, self.num_classes + 1), jnp.float32
+            ),
+            jnp.zeros((B, self.num_anchors, 4), jnp.float32),
+        )
+
+    def _scan_steps(
+        self, run_step, xs, T, carry0, stats, state, start_step
+    ):
+        """Shared per-step scan scaffolding (:meth:`forward` and
+        :meth:`forward_hybrid` phase B): plain scan when start_step is
+        statically 0, else a traced-truncation ``lax.cond`` body
+        (steps t < start_step frozen, reproducing ``X[r:]`` —
+        soda.py:149 — without dynamic shapes), with optional
+        per-step rematerialization.
+
+        ``run_step(stats, state, x_t) -> (stats, state, out)``;
+        returns the final ``(stats, state, out)``."""
+        if isinstance(start_step, int) and start_step == 0:
+            def body(carry, x_t):
+                stats, state, _ = carry
+                stats, state, out = run_step(stats, state, x_t)
+                return (stats, state, out), None
+        else:
+            def body(carry, inp):
+                stats, state, out = carry
+                x_t, t = inp
+                stats, state, out = jax.lax.cond(
+                    t >= start_step,
+                    lambda _: run_step(stats, state, x_t),
+                    lambda _: (stats, state, out),
+                    None,
+                )
+                return (stats, state, out), None
+
+            xs = (xs, jnp.arange(T))
+
+        if self.remat:
+            body = jax.checkpoint(body)
+
+        (stats, state, out), _ = jax.lax.scan(
+            body, (stats, state, carry0), xs,
+            unroll=self.scan_unroll,
+        )
+        return stats, state, out
+
     def forward(
         self,
         params: Any,
@@ -426,26 +488,7 @@ class SODa:
             state = self.init_state(B)
 
         deferred = self._head_tails_light
-        if deferred:
-            # Carry the per-scale stem activations; run the stateless
-            # box/cls tails ONCE after the scan (bit-identical: only
-            # the last step's tail outputs are ever returned).
-            carry0 = tuple(
-                jnp.zeros(
-                    (B, *h["base"].out_hw, h["base"].out_channels),
-                    self.compute_dtype,
-                )
-                for h in self.heads
-            )
-        else:
-            carry0 = (
-                jnp.zeros(
-                    (B, self.num_anchors, self.num_classes + 1), jnp.float32
-                ),
-                jnp.zeros((B, self.num_anchors, 4), jnp.float32),
-            )
-
-        static_full = isinstance(start_step, int) and start_step == 0
+        carry0 = self._scan_carry0(B)
 
         def run_step(stats, state, x_t):
             if deferred:
@@ -459,34 +502,8 @@ class SODa:
             return s2, st2, (cls_p.astype(jnp.float32),
                              box_p.astype(jnp.float32))
 
-        if static_full:
-            # No truncation: plain scan, no per-step branch.
-            def body(carry, x_t):
-                stats, state, _ = carry
-                stats, state, out = run_step(stats, state, x_t)
-                return (stats, state, out), None
-
-            xs = X
-        else:
-            def body(carry, inp):
-                stats, state, out = carry
-                x_t, t = inp
-                stats, state, out = jax.lax.cond(
-                    t >= start_step,
-                    lambda _: run_step(stats, state, x_t),
-                    lambda _: (stats, state, out),
-                    None,
-                )
-                return (stats, state, out), None
-
-            xs = (X, jnp.arange(T))
-
-        if self.remat:
-            body = jax.checkpoint(body)
-
-        (stats, state, out), _ = jax.lax.scan(
-            body, (stats, state, carry0), xs,
-            unroll=self.scan_unroll,
+        stats, state, out = self._scan_steps(
+            run_step, X, T, carry0, stats, state, start_step
         )
         if deferred:
             cls_p, box_p = self._tail_readout(
@@ -635,22 +652,7 @@ class SODa:
 
         # phase B: neck + heads, per-step scan (forward's structure)
         deferred = self._head_tails_light
-        if deferred:
-            carry0 = tuple(
-                jnp.zeros(
-                    (B, *h["base"].out_hw, h["base"].out_channels),
-                    self.compute_dtype,
-                )
-                for h in self.heads
-            )
-        else:
-            carry0 = (
-                jnp.zeros(
-                    (B, self.num_anchors, self.num_classes + 1), jnp.float32
-                ),
-                jnp.zeros((B, self.num_anchors, 4), jnp.float32),
-            )
-        static_full = isinstance(start_step, int) and start_step == 0
+        carry0 = self._scan_carry0(B)
 
         def run_step(stats_nh, state_nh, y_t):
             ctx = C.Ctx(train=train)
@@ -684,35 +686,10 @@ class SODa:
                 jnp.concatenate(box_list, axis=1).astype(jnp.float32),
             )
 
-        if static_full:
-            def body(carry, y_t):
-                stats_nh, state_nh, _ = carry
-                stats_nh, state_nh, out = run_step(stats_nh, state_nh, y_t)
-                return (stats_nh, state_nh, out), None
-
-            xs = y_seq
-        else:
-            def body(carry, inp):
-                stats_nh, state_nh, out = carry
-                y_t, t = inp
-                stats_nh, state_nh, out = jax.lax.cond(
-                    t >= start_step,
-                    lambda _: run_step(stats_nh, state_nh, y_t),
-                    lambda _: (stats_nh, state_nh, out),
-                    None,
-                )
-                return (stats_nh, state_nh, out), None
-
-            xs = (y_seq, jnp.arange(T))
-
-        if self.remat:
-            body = jax.checkpoint(body)
-
         stats_nh0 = {k: v for k, v in stats.items() if k != "backbone"}
         state_nh0 = {k: v for k, v in state.items() if k != "backbone"}
-        (stats_nh, state_nh, out), _ = jax.lax.scan(
-            body, (stats_nh0, state_nh0, carry0), xs,
-            unroll=self.scan_unroll,
+        stats_nh, state_nh, out = self._scan_steps(
+            run_step, y_seq, T, carry0, stats_nh0, state_nh0, start_step
         )
         if deferred:
             ctx = C.Ctx(train=train)
@@ -725,6 +702,25 @@ class SODa:
         new_stats["backbone"] = nb_stats
         new_state["backbone"] = nb_state
         return preds, new_stats, new_state
+
+    def forward_fn(self, schedule):
+        """Map a training-schedule flag — the
+        ``Trainer(time_batched=...)`` values — to the forward
+        implementation: ``False`` -> :meth:`forward` (per-step scan),
+        ``True`` -> :meth:`forward_seq` (time-batched), ``"hybrid"``
+        -> :meth:`forward_hybrid`. The single dispatch point shared by
+        the Trainer and the schedule benchmarks."""
+        try:
+            return {
+                False: self.forward,
+                True: self.forward_seq,
+                "hybrid": self.forward_hybrid,
+            }[schedule]
+        except (KeyError, TypeError):
+            raise ValueError(
+                f"unknown schedule {schedule!r}; expected False, True, "
+                "or 'hybrid'"
+            ) from None
 
     # ----- loss (soda.py:259-281) -----
 

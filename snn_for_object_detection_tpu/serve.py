@@ -214,17 +214,19 @@ class StreamingEngine:
         unknown = set(frames) - set(self._slots)
         if unknown:
             raise KeyError(f"unattached streams: {sorted(unknown)}")
+        # Validate + convert EVERY frame before touching the staging
+        # buffers: raising after the flip/zero below would desync the
+        # pipelined double buffer (a later step would refill the host
+        # buffer whose transfer may still be in flight).
+        staged = {
+            self._slots[sid]: self._check_frame(sid, frame)
+            for sid, frame in frames.items()
+        }
         buf = self._bufs[self._flip]
         self._flip = (self._flip + 1) % len(self._bufs)
         buf[:] = 0
-        for sid, frame in frames.items():
-            frame = np.asarray(frame)
-            if frame.shape != (self._h, self._w, self._c):
-                raise ValueError(
-                    f"stream {sid!r}: frame shape {frame.shape} != "
-                    f"({self._h}, {self._w}, {self._c})"
-                )
-            buf[self._slots[sid]] = frame
+        for slot, frame in staged.items():
+            buf[slot] = frame
         # async dispatch: jnp.asarray + the jitted step return device
         # handles immediately; the transfer and compute proceed while
         # the host fans out the previous results / rasterizes the next
@@ -242,6 +244,35 @@ class StreamingEngine:
             return self._fan_out(dets, snapshot)
         prev, self._pending = self._pending, (dets, snapshot)
         return self._fan_out(*prev) if prev is not None else {}
+
+    def _check_frame(self, sid: str, frame) -> np.ndarray:
+        """Validate one incoming frame against the engine geometry and
+        the staging dtype. With integer staging (the uint8 default),
+        silently casting would TRUNCATE normalized float inputs to 0
+        and WRAP counts past the dtype max — fail loud on the former,
+        saturate the latter (the rasterizers only ever write 0/1:
+        native/event_ops.cc)."""
+        frame = np.asarray(frame)
+        if frame.shape != (self._h, self._w, self._c):
+            raise ValueError(
+                f"stream {sid!r}: frame shape {frame.shape} != "
+                f"({self._h}, {self._w}, {self._c})"
+            )
+        dt = self._bufs[0].dtype
+        if np.issubdtype(dt, np.integer):
+            if np.issubdtype(frame.dtype, np.floating) and not np.all(
+                frame == np.rint(frame)
+            ):
+                raise ValueError(
+                    f"stream {sid!r}: non-integral frame values with "
+                    f"{dt.name} staging would be truncated; event-count"
+                    " frames are integral — construct the engine with "
+                    "frame_dtype='float32' for arbitrary-valued inputs"
+                )
+            hi = np.iinfo(dt).max
+            if frame.size and frame.max() > hi:
+                frame = np.minimum(frame, hi)  # saturate, don't wrap
+        return frame
 
     def flush(self) -> Dict[str, np.ndarray]:
         """Pipelined mode: fetch + fan out the in-flight step's

@@ -432,11 +432,7 @@ class Trainer:
         feat_sh = feature_sharding(self.mesh)
         lab_sh = batch_sharding(self.mesh, 0)
 
-        fwd = {
-            False: model.forward,
-            True: model.forward_seq,
-            "hybrid": model.forward_hybrid,
-        }[self.time_batched]
+        fwd = model.forward_fn(self.time_batched)
 
         def train_step(params, opt_state, stats, X, labels, key):
             r = (

@@ -245,3 +245,16 @@ def test_custom_anchor_params():
 
     with pytest.raises(ValueError, match="anchor_sizes"):
         MicroSODa(num_classes=2, in_hw=(32, 40), anchor_sizes=[0.1, 0.2])
+
+
+def test_forward_fn_dispatch():
+    """forward_fn is the single schedule dispatch point shared by the
+    Trainer and the schedule benchmarks."""
+    m = MicroSODa(num_classes=2, in_hw=(32, 40))
+    assert m.forward_fn(False) == m.forward
+    assert m.forward_fn(True) == m.forward_seq
+    assert m.forward_fn("hybrid") == m.forward_hybrid
+    with pytest.raises(ValueError, match="schedule"):
+        m.forward_fn("nope")
+    with pytest.raises(ValueError, match="schedule"):
+        m.forward_fn(None)

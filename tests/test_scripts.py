@@ -119,3 +119,32 @@ def test_check_gen1_pass_and_fail(tmp_path):
     assert out.returncode == 1
     assert "label without events" in out.stdout
     assert "zero events" in out.stdout
+
+
+def test_summarize_chip_queue(tmp_path):
+    """Queue-log summarizer: single-line AND indented multi-line JSON
+    records surface in the report; failed runs show rc + error tail."""
+    q = tmp_path / "q"
+    q.mkdir()
+    (q / "queue.log").write_text(
+        "=== bench ===\nbench rc=0\nhlo_auto rc=0\nint8_ptq rc=124\n"
+    )
+    (q / "bench.log").write_text(
+        'warmup noise\n{"metric": "fps", "value": 3304.3}\n'
+    )
+    (q / "hlo_auto.log").write_text(
+        'head\n{\n  "passes": {"copy": 3},\n  "layout": "auto"\n}\n'
+    )
+    (q / "int8_ptq.log").write_text("Traceback\nRuntimeError: down\n")
+
+    out = subprocess.run(
+        [sys.executable, "scripts/summarize_chip_queue.py", str(q)],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "| bench | ok | 1 |" in out.stdout
+    assert "| hlo_auto | ok | 1 |" in out.stdout  # multi-line JSON parsed
+    assert "| int8_ptq | **rc=124** | 0 |" in out.stdout
+    assert '"value": 3304.3' in out.stdout
+    assert '"copy": 3' in out.stdout
+    assert "RuntimeError: down" in out.stdout

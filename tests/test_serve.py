@@ -236,6 +236,65 @@ def test_frame_staging_dtypes_match(setup):
         )
 
 
+def test_integer_staging_rejects_fractional_frames(setup):
+    """uint8 staging must fail loud on normalized float inputs — a
+    silent cast would truncate [0, 1) values to all-zero frames and
+    detections would just disappear."""
+    model, params, stats = setup
+    eng = StreamingEngine(model, params, stats, capacity=2)
+    eng.add_stream("a")
+    with pytest.raises(ValueError, match="frame_dtype='float32'"):
+        eng.step({"a": np.full((H, W, 2), 0.5, np.float32)})
+    # integral-valued floats are fine (event counts arrive as floats
+    # from many rasterizers)
+    eng.step({"a": frame(0)})
+
+
+def test_integer_staging_saturates_large_counts(setup):
+    """Counts past the staging dtype max saturate instead of wrapping
+    modulo 256 (a 256-event pixel must not stage as zero)."""
+    model, params, stats = setup
+    eng = StreamingEngine(model, params, stats, capacity=2)
+    eng.add_stream("a")
+    big = np.zeros((H, W, 2), np.float32)
+    big[0, 0, 0] = 300.0
+    eng.step({"a": big})
+    assert eng._bufs[0].max() == 255  # saturated, not 300 % 256 == 44
+
+
+def test_pipelined_bad_frame_does_not_desync_buffers(setup):
+    """A rejected frame must leave the pipelined double buffer exactly
+    as it was: raising after the buffer flip would let a later step
+    refill a host buffer whose transfer is still in flight. Behavioral
+    pin: an engine that survives a bad step() yields bit-identical
+    detections to one that never saw it."""
+    model, params, stats = setup
+    seq = [frame(t) for t in range(6)]
+
+    clean = StreamingEngine(model, params, stats, capacity=2,
+                            pipelined=True)
+    hit = StreamingEngine(model, params, stats, capacity=2,
+                          pipelined=True)
+    for eng in (clean, hit):
+        eng.add_stream("a")
+
+    outs = {id(clean): [], id(hit): []}
+    for t, f in enumerate(seq):
+        if t == 3:
+            flip_before = hit._flip
+            with pytest.raises(ValueError, match="shape"):
+                hit.step({"a": np.zeros((4, 4, 2), np.float32)})
+            assert hit._flip == flip_before  # no flip on rejection
+        for eng in (clean, hit):
+            out = eng.step({"a": f})
+            if out:
+                outs[id(eng)].append(out["a"])
+    for eng in (clean, hit):
+        outs[id(eng)].append(eng.flush()["a"])
+    for c, h in zip(outs[id(clean)], outs[id(hit)]):
+        np.testing.assert_array_equal(c, h)
+
+
 def test_int8_quantized_params(setup):
     """int8-PTQ params (ops/quantize.py) serve through the engine: the
     deployment combination the README advertises."""
