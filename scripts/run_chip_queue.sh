@@ -52,3 +52,4 @@ run train_gate 2400 env RUN_TRAIN_GATE=1 SNN_TEST_PLATFORM=default \
   python -m pytest tests/test_train_gate.py -x -q -s
 
 echo "=== queue done ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT/queue.log"
+python scripts/summarize_chip_queue.py "$OUT" > "$OUT/SUMMARY.md" 2>/dev/null || true
