@@ -186,11 +186,31 @@ def bench_tpu() -> "tuple[float, dict]":
         except Exception as e:
             print(f"[bench] forward_seq path failed: {e}", file=sys.stderr)
 
+    # Round-4 candidate: space-to-depth stem (spec.Conv(s2d=True) —
+    # exact-numerics execution plan; the raw Cin=2 frame underfills the
+    # MXU contraction 9*2 wide, the packed plan is 16*2 over half the
+    # spatial grid). SAME param tree: only the stem conv's plan changes.
+    fps_s2d = fps_s2d_int8 = None
+    if os.environ.get("BENCH_S2D", "1") != "0":
+        try:
+            model_s2d = TinyYolo(
+                num_classes=2, in_hw=(H, W), compute_dtype=jnp.bfloat16,
+                state_dtype=jnp.bfloat16, remat=False, scan_unroll=2,
+                s2d_stem=True,
+            )
+            fps_s2d = time_forward(params, X, model_s2d.forward)
+            if fps_int8 is not None:
+                fps_s2d_int8 = time_forward(qparams, X, model_s2d.forward)
+        except Exception as e:
+            print(f"[bench] s2d-stem path failed: {e}", file=sys.stderr)
+
     detail = {"bf16_frames_per_sec": round(fps_bf16, 1)}
     for key, v in (
         ("int8_frames_per_sec", fps_int8),
         ("seq_frames_per_sec", fps_seq),
         ("seq_int8_frames_per_sec", fps_seq_int8),
+        ("s2d_frames_per_sec", fps_s2d),
+        ("s2d_int8_frames_per_sec", fps_s2d_int8),
     ):
         if v is not None:
             detail[key] = round(v, 1)
@@ -200,6 +220,9 @@ def bench_tpu() -> "tuple[float, dict]":
         "bf16-acts + bf16-states + time-batched": fps_seq,
         "bf16-acts + bf16-states + int8-ptq-convs + time-batched":
             fps_seq_int8,
+        "bf16-acts + bf16-states + s2d-stem": fps_s2d,
+        "bf16-acts + bf16-states + int8-ptq-convs + s2d-stem":
+            fps_s2d_int8,
     }
     cfg, best = max(
         ((k, v) for k, v in candidates.items() if v is not None),

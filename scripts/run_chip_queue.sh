@@ -43,6 +43,9 @@ run 1mpx_train 3600 python benchmarks/bench_1mpx_train.py
 # 6. GEN1 train-step schedules at the reference geometry.
 run train_sched 1800 python benchmarks/bench_train.py
 
+# 6b. Space-to-depth stem: stage-1 unit + full model, both geometries.
+run s2d_stem 1500 python benchmarks/bench_s2d_stem.py
+
 # 7. Streaming engine after uint8 staging + double buffering
 #    (round-3: ~38 cameras/chip; expect 45+).
 run streaming 1200 python benchmarks/bench_streaming.py

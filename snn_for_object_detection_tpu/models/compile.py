@@ -249,6 +249,32 @@ def _conv_out_hw(hw, k, s, p):
     return tuple((d + 2 * p - k) // s + 1 for d in hw)
 
 
+def _s2d_pack_x(x):
+    """[..., H, W, C] -> [..., H/2, W/2, 4C]: 2x2 space-to-depth with
+    the row phase ``a`` outermost in the packed channel index
+    (``a*2C + b*C + c``), matching :func:`_s2d_pack_w`."""
+    *lead, H, W, C = x.shape
+    x = x.reshape(*lead, H // 2, 2, W // 2, 2, C)
+    x = jnp.swapaxes(x, -4, -3)  # [..., H/2, W/2, a, b, C]
+    return x.reshape(*lead, H // 2, W // 2, 4 * C)
+
+
+def _s2d_pack_w(w):
+    """[3, 3, C, O] -> [2, 2, 4C, O]: scatter the 3x3 stride-2 taps
+    onto the packed-grid kernel. With output row i, raw rows
+    2i-1/2i/2i+1 live at packed rows (i-1, phase 1), (i, phase 0),
+    (i, phase 1) — a kernel-2 stride-1 conv with top/left padding 1;
+    the (packed tap 0, phase 0) slot (raw offset -2) is never read and
+    stays zero. Same for columns."""
+    C, O = w.shape[2], w.shape[3]
+    wp = jnp.zeros((2, 2, 2, 2, C, O), w.dtype)  # [DI, DJ, a, b, C, O]
+    m = {(0, 1): 0, (1, 0): 1, (1, 1): 2}  # (packed tap, phase) -> raw tap
+    for (di_p, a), di in m.items():
+        for (dj_p, b), dj in m.items():
+            wp = wp.at[di_p, dj_p, a, b].set(w[di, dj])
+    return wp.reshape(2, 2, 4 * C, O)
+
+
 # ---------------------------------------------------------------------------
 # Leaf compilation
 # ---------------------------------------------------------------------------
@@ -272,6 +298,27 @@ def _compile_leaf(
         pad = k // 2
         out_hw = _conv_out_hw(in_hw, k, s, pad)
 
+        s2d = layer.s2d
+        if s2d:
+            if k != 3 or s != 2:
+                raise ValueError(
+                    f"{name}: Conv(s2d=True) requires kernel_size=3 "
+                    f"stride=2, got k={k} s={s}"
+                )
+            if h % 2 or w % 2:
+                raise ValueError(
+                    f"{name}: Conv(s2d=True) needs even input dims, "
+                    f"got {in_hw}"
+                )
+
+        def conv_plan(x, wt, s=s, pad=pad):
+            """(x, w, strides, padding) under the selected execution
+            plan — packed space-to-depth or the plain conv."""
+            if s2d:
+                return (_s2d_pack_x(x), _s2d_pack_w(wt), (1, 1),
+                        [(1, 0), (1, 0)])
+            return x, wt, (s, s), [(pad, pad), (pad, pad)]
+
         def init(key, k=k, in_ch=in_ch, out=out):
             return {"w": _kaiming_conv_init(key, (k, k, in_ch, out))}
 
@@ -288,10 +335,11 @@ def _compile_leaf(
                 q_x = jnp.clip(
                     jnp.round(x * inv), -127, 127
                 ).astype(jnp.int8)
+                q_x, w_q, strides, padding = conv_plan(q_x, params["w_q"])
                 y = jax.lax.conv_general_dilated(
-                    q_x, params["w_q"],
-                    window_strides=(s, s),
-                    padding=[(pad, pad), (pad, pad)],
+                    q_x, w_q,
+                    window_strides=strides,
+                    padding=padding,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     preferred_element_type=jnp.int32,
                 )
@@ -305,7 +353,15 @@ def _compile_leaf(
                 stats["in_absmax"] = jnp.max(
                     jnp.abs(x.astype(jnp.float32))
                 )
-            return _conv2d(x, params["w"], s, pad), stats, state
+            xp, wt, strides, padding = conv_plan(x, params["w"])
+            y = jax.lax.conv_general_dilated(
+                xp,
+                wt.astype(x.dtype),
+                window_strides=strides,
+                padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y, stats, state
 
         return CompiledBlock(out, out_hw, init, _empty_stats, _empty_state,
                              apply, meta=("conv", k, s))

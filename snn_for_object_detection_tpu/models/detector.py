@@ -20,6 +20,7 @@ The class itself is configuration + compiled pure functions; parameters
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -68,6 +69,7 @@ class SODa:
         remat: bool = True,
         scan_unroll: int = 1,
         fuse_seq: bool = False,
+        s2d_stem: bool = False,
         anchor_sizes=None,
         anchor_ratios=None,
     ):
@@ -94,9 +96,25 @@ class SODa:
         # can differ from the scan path on ~0.2% of near-threshold
         # pixels (fp32 accumulation order) — opt-in.
         self.fuse_seq = fuse_seq
+        # Space-to-depth stem execution plan (exact-numerics; see
+        # spec.Conv.s2d): the first backbone conv runs on 2x2-packed
+        # input, filling the MXU contraction at the tiny-Cin stem.
+        self.s2d_stem = s2d_stem
 
+        backbone_cfgs = self.backbone_cfgs()
+        if s2d_stem:
+            stem = backbone_cfgs[0] if backbone_cfgs else None
+            if not (isinstance(stem, S.Conv) and stem.kernel_size == 3
+                    and stem.stride == 2):
+                raise ValueError(
+                    "s2d_stem=True requires the backbone to start with "
+                    f"a Conv(kernel_size=3, stride=2); got {stem!r}"
+                )
+            backbone_cfgs = [
+                dataclasses.replace(stem, s2d=True), *backbone_cfgs[1:]
+            ]
         self.backbone = C.compile_block(
-            self.backbone_cfgs(), in_channels, self.in_hw, "backbone",
+            backbone_cfgs, in_channels, self.in_hw, "backbone",
             state_dtype=state_dtype,
         )
         neck_returns: List[Tuple[int, Tuple[int, int]]] = []

@@ -51,11 +51,22 @@ class Pass(LayerSpec):
 class Conv(LayerSpec):
     """2D convolution; bias-free, auto padding ``k // 2``
     (layer_gen.py:106-136). ``out_channels=None`` keeps the input
-    channel count."""
+    channel count.
+
+    ``s2d=True`` (requires ``kernel_size=3, stride=2``, even input
+    dims) selects the space-to-depth execution plan: the input is
+    packed 2x2-block -> channels and the conv runs as kernel-2
+    stride-1 over 4x the channels — bit-for-bit the same math and the
+    SAME ``[3,3,Cin,Cout]`` params, but the MXU contraction is 16*Cin
+    instead of 9*Cin, which matters for tiny-Cin stems (the raw GEN1
+    frame has Cin=2; the MLPerf-TPU trick). Purely an execution plan:
+    checkpoints, importers, quantization, and the megakernel all see
+    the ordinary conv."""
 
     out_channels: Optional[int] = None
     kernel_size: int = 3
     stride: int = 1
+    s2d: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
