@@ -129,6 +129,13 @@ def main():
         # stages) + per-step neck/heads
         "hybrid_bf16_states": dict(state_dtype=jnp.bfloat16,
                                    time_batched="hybrid"),
+        # space-to-depth stem (exact-numerics plan; the 720x1280 Cin=2
+        # stem conv is the biggest single unit in fwd AND bwd)
+        "s2d_bf16_states_remat_u1": dict(state_dtype=jnp.bfloat16,
+                                         s2d_stem=True),
+        "s2d_hybrid_bf16_states": dict(state_dtype=jnp.bfloat16,
+                                       time_batched="hybrid",
+                                       s2d_stem=True),
     }
     results = {}
     for name, kwargs in variants.items():
