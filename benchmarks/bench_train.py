@@ -98,6 +98,11 @@ def main():
          dict(compute_dtype=jnp.bfloat16, state_dtype=jnp.bfloat16)),
         ("hybrid_bf16_states", "hybrid",
          dict(compute_dtype=jnp.bfloat16, state_dtype=jnp.bfloat16)),
+        # space-to-depth stem: the Cin=2 stage-1 conv is MXU-underfilled
+        # in fwd AND bwd (exact-numerics plan, tests/test_s2d.py)
+        ("s2d_step_scan_bf16_states", False,
+         dict(compute_dtype=jnp.bfloat16, state_dtype=jnp.bfloat16,
+              s2d_stem=True)),
     ):
         try:
             results[name] = measure(T, B, tb, **kwargs)

@@ -99,7 +99,10 @@ class Trainer:
         neck/heads per step (``model.forward_hybrid``). All three
         schedules are identical math (same loss, same gradients);
         pick by measurement (benchmarks/bench_train.py,
-        benchmarks/bench_1mpx_train.py).
+        benchmarks/bench_1mpx_train.py) — or pass ``"auto"`` and the
+        trainer measures them itself on the run's real geometry at
+        fit/validate start and pins the fastest (a schedule that OOMs
+        there is disqualified rather than fatal).
     """
 
     def __init__(
@@ -172,10 +175,15 @@ class Trainer:
         # fuses each cell update into its producer conv's epilogue —
         # docs/perf.md "time-batched"). "hybrid" = time-batched
         # backbone + per-step neck/heads (model.forward_hybrid).
-        if time_batched not in (False, True, "hybrid"):
+        # "auto" resolves at fit/validate start: one step per schedule
+        # is compiled and timed on the REAL batch geometry and the
+        # fastest wins (schedules are numerically equivalent, so this
+        # is purely a throughput decision — costs a few extra compiles
+        # once per run).
+        if time_batched not in (False, True, "hybrid", "auto"):
             raise ValueError(
-                f"time_batched must be False, True or 'hybrid', "
-                f"got {time_batched!r}"
+                f"time_batched must be False, True, 'hybrid' or "
+                f"'auto', got {time_batched!r}"
             )
         self.time_batched = time_batched
         # Optimizer surface (beyond the reference's fixed Adamax,
@@ -410,6 +418,84 @@ class Trainer:
             )
         return factory(lr, **kwargs)
 
+    def _maybe_autoschedule(self, model, data, train: bool) -> None:
+        """Resolve ``time_batched="auto"``: compile one step per
+        schedule on the run's real ``[T, B, H, W, C]`` geometry (dummy
+        zero frames — the conv/cell math is data-independent), time two
+        post-compile reps, and pin the fastest. A schedule that fails
+        to compile or OOMs at this geometry is disqualified, so "auto"
+        is never worse than the surviving schedules (e.g. fp32-state
+        1Mpx step scans that OOM where time-batched fits)."""
+        if self.time_batched != "auto":
+            return
+        T, B = data.num_steps, data.batch_size
+        H, W = model.in_hw
+        X = jnp.zeros((T, B, H, W, model.in_channels), jnp.uint8)
+        labels = jnp.full(
+            (B, getattr(data, "max_labels", 8), 5), -1.0, jnp.float32
+        )
+        Xd, labd = shard_batch(self.mesh, X, labels)
+        params, stats = model.init(jax.random.PRNGKey(0))
+        rep = replicated(self.mesh)
+        feat_sh = feature_sharding(self.mesh)
+        lab_sh = batch_sharding(self.mesh, 0)
+        # traced start_step when truncation is on, matching the real
+        # step's lax.cond body (the plain body compiles differently)
+        r = jnp.asarray(0, jnp.int32) if model.time_window else 0
+
+        timings = {}
+        for sched in (False, "hybrid", True):
+            fwd = model.forward_fn(sched)
+            if train:
+                def step_fn(p, s, X, labels, fwd=fwd):
+                    def loss_fn(p, s):
+                        preds, ns, _ = fwd(
+                            p, s, X, start_step=r, train=True
+                        )
+                        return model.loss(preds, labels), ns
+                    (l, _), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(p, s)
+                    # realistic BPTT cost; the optimizer update is
+                    # schedule-independent and skipped
+                    return l, grads
+            else:
+                def step_fn(p, s, X, labels, fwd=fwd):
+                    preds, _, _ = fwd(p, s, X, start_step=r)
+                    return model.loss(preds, labels)
+            f = None
+            try:
+                f = jax.jit(
+                    step_fn, in_shardings=(rep, rep, feat_sh, lab_sh)
+                )
+                jax.block_until_ready(f(params, stats, Xd, labd))
+                t0 = time.perf_counter()
+                for _ in range(2):
+                    out = f(params, stats, Xd, labd)
+                jax.block_until_ready(out)
+                timings[sched] = (time.perf_counter() - t0) / 2
+                print(
+                    f"[trainer] schedule {sched!r}: "
+                    f"{timings[sched] * 1e3:.0f} ms/step",
+                    flush=True,
+                )
+            except Exception as e:
+                print(
+                    f"[trainer] schedule {sched!r} disqualified: "
+                    f"{type(e).__name__}: {e}"[:200],
+                    flush=True,
+                )
+                timings[sched] = float("inf")
+            del f  # release the timing executable before the next one
+        best = min(timings, key=timings.get)
+        if not np.isfinite(timings[best]):
+            raise RuntimeError(
+                "time_batched='auto': no schedule compiled at "
+                f"T={T} B={B} {H}x{W}"
+            )
+        self.time_batched = best
+        print(f"[trainer] time_batched='auto' -> {best!r}", flush=True)
+
     def _build_steps(self, model):
         # Adamax default (soda.py:135-136) — configurable via the
         # ``optimizer``/``lr_schedule`` trainer options — optionally
@@ -496,6 +582,7 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
         self._sync_data_sharding(data)
         self.mesh_for_batch(data.batch_size)
+        self._maybe_autoschedule(model, data, train=True)
         optimizer, jit_train, jit_eval = self._build_steps(model)
         key = jax.random.PRNGKey(self.seed)
 
@@ -715,6 +802,7 @@ class Trainer:
     def validate(self, model, data, params, stats) -> Dict[str, float]:
         self._sync_data_sharding(data)
         self.mesh_for_batch(data.batch_size)
+        self._maybe_autoschedule(model, data, train=False)
         _, _, jit_eval = self._build_steps(model)
         key = jax.random.PRNGKey(self.seed)
         metrics = self._run_eval(
@@ -727,6 +815,7 @@ class Trainer:
     def test(self, model, data, params, stats) -> Dict[str, float]:
         self._sync_data_sharding(data)
         self.mesh_for_batch(data.batch_size)
+        self._maybe_autoschedule(model, data, train=False)
         _, _, jit_eval = self._build_steps(model)
         key = jax.random.PRNGKey(self.seed)
         metrics = self._run_eval(

@@ -390,3 +390,26 @@ def test_optimizer_and_lr_schedule_options(synth_root, tmp_path):
     with pytest.raises(ValueError, match="unknown lr_schedule"):
         Trainer(out_dir=str(tmp_path / "bad2"),
                 lr_schedule={"name": "bogus"})._make_learning_rate(model)
+
+
+def test_auto_schedule_resolves_and_fits(synth_root, tmp_path):
+    """Trainer(time_batched="auto") times the three equivalent
+    schedules on the real batch geometry at fit start, pins the
+    fastest, and trains normally with it."""
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=2)
+    dm = make_dm(synth_root)
+    trainer = Trainer(
+        max_epochs=1, limit_train_batches=2, limit_val_batches=1,
+        check_val_every_n_epoch=1, out_dir=str(tmp_path / "auto"),
+        prefetch_batches=0, seed=0, time_batched="auto",
+    )
+    result = trainer.fit(model, dm)
+    assert trainer.time_batched in (False, True, "hybrid")  # resolved
+    assert result["step"] == 2
+    assert np.isfinite(float(result["best_metric"])) or \
+        result["best_metric"] == -np.inf
+
+
+def test_auto_schedule_rejects_bad_value():
+    with pytest.raises(ValueError, match="time_batched"):
+        Trainer(time_batched="sometimes")
