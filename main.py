@@ -74,7 +74,19 @@ def main(argv=None):
              "(coordinator/process env vars or TPU-pod metadata); also "
              "implied by JAX_COORDINATOR_ADDRESS being set",
     )
+    parser.add_argument(
+        "--compile_cache", default="~/.cache/snn_tpu_jax", metavar="DIR",
+        help="persistent XLA compilation cache directory — supervised "
+             "relaunches and re-runs of the same config skip the "
+             "multi-minute TPU train-step compiles (pass an empty "
+             "string to disable; default %(default)s)",
+    )
     args, overrides = parser.parse_known_args(argv)
+
+    if args.compile_cache:
+        from snn_for_object_detection_tpu.utils import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
 
     if args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         from snn_for_object_detection_tpu.parallel import distributed

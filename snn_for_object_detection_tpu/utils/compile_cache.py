@@ -1,0 +1,45 @@
+"""Persistent XLA compilation cache.
+
+TPU train-step compiles through the remote compile service take
+minutes (2-7 min for full train steps; see
+.claude/skills/verify/SKILL.md timing notes). XLA's persistent
+compilation cache keys compiled executables by HLO hash and reuses
+them across processes, so a supervised relaunch
+(``scripts/supervise.py``), a resumed run, or a re-run of the same
+config skips compilation entirely. ``main.py`` enables it by default
+(``--compile_cache`` to relocate, ``--compile_cache=`` to disable).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+DEFAULT_DIR = os.path.join("~", ".cache", "snn_tpu_jax")
+
+
+def enable_compile_cache(
+    path: str = DEFAULT_DIR, min_compile_seconds: float = 1.0
+) -> str:
+    """Enable the persistent XLA compilation cache at ``path``.
+
+    :param path: Cache directory (created if missing; ``~`` expanded).
+    :param min_compile_seconds: Only executables whose compile took at
+        least this long are persisted (sub-second compiles are cheaper
+        to redo than to load).
+    :return: The expanded cache directory path.
+    """
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    for name, value in (
+        ("jax_persistent_cache_min_compile_time_secs",
+         float(min_compile_seconds)),
+        ("jax_persistent_cache_min_entry_size_bytes", 0),
+    ):
+        try:
+            jax.config.update(name, value)
+        except AttributeError:  # older jax without the knob
+            pass
+    return path
