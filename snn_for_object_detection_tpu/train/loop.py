@@ -487,6 +487,14 @@ class Trainer:
                 )
                 timings[sched] = float("inf")
             del f  # release the timing executable before the next one
+        if dist.is_distributed():
+            # every host MUST pin the same schedule (diverged compiled
+            # programs hang collectives); merge timings deterministically
+            merged = {}
+            for host_timings in dist.allgather_pickle(timings):
+                for k, v in host_timings.items():
+                    merged[k] = merged.get(k, 0.0) + v
+            timings = merged
         best = min(timings, key=timings.get)
         if not np.isfinite(timings[best]):
             raise RuntimeError(

@@ -413,3 +413,28 @@ def test_auto_schedule_resolves_and_fits(synth_root, tmp_path):
 def test_auto_schedule_rejects_bad_value():
     with pytest.raises(ValueError, match="time_batched"):
         Trainer(time_batched="sometimes")
+
+
+def test_auto_schedule_merges_host_timings(monkeypatch, synth_root, tmp_path):
+    """Multi-host 'auto' must pin the SAME schedule on every host —
+    diverged compiled programs hang collectives — so per-host timings
+    are summed via allgather before the argmin. Fake a second host
+    whose timings overwhelmingly favor 'hybrid' and check it wins."""
+    from snn_for_object_detection_tpu.parallel import distributed as dist_mod
+
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=2)
+    dm = make_dm(synth_root)
+    trainer = Trainer(
+        out_dir=str(tmp_path / "merge"), seed=0, time_batched="auto",
+    )
+    trainer.mesh_for_batch(dm.batch_size)  # as fit/validate do first
+
+    monkeypatch.setattr(dist_mod, "is_distributed", lambda: True)
+
+    def fake_allgather(local):
+        other = {k: (1e-6 if k == "hybrid" else 1e9) for k in local}
+        return [local, other]
+
+    monkeypatch.setattr(dist_mod, "allgather_pickle", fake_allgather)
+    trainer._maybe_autoschedule(model, dm, train=False)
+    assert trainer.time_batched == "hybrid"
