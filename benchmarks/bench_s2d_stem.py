@@ -32,7 +32,6 @@ from benchmarks._util import timeit
 from snn_for_object_detection_tpu.models import TinyYolo
 from snn_for_object_detection_tpu.models import compile as C
 from snn_for_object_detection_tpu.models import spec as S
-from snn_for_object_detection_tpu.ops import neurons
 
 
 def stem_unit_seconds(H, W, cout, T, B, s2d: bool, dtype=jnp.bfloat16):

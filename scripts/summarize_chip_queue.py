@@ -40,6 +40,10 @@ def json_lines(path: str) -> list:
     out = []
     block: list = []
     depth = 0
+    # A truncated block (benchmark killed mid-print) or log noise
+    # starting with an unbalanced '{' must not swallow the rest of the
+    # file: cap open blocks and resume scanning.
+    max_block_lines = 400
     with open(path) as f:
         for line in f:
             s = line.strip()
@@ -59,6 +63,8 @@ def json_lines(path: str) -> list:
                 except ValueError:
                     pass
                 block, depth = [], 0
+            elif len(block) > max_block_lines:
+                block, depth = [], 0  # give up on this block, keep going
     return out
 
 

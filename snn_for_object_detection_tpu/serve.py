@@ -269,9 +269,13 @@ class StreamingEngine:
                     " frames are integral — construct the engine with "
                     "frame_dtype='float32' for arbitrary-valued inputs"
                 )
-            hi = np.iinfo(dt).max
-            if frame.size and frame.max() > hi:
-                frame = np.minimum(frame, hi)  # saturate, don't wrap
+            info = np.iinfo(dt)
+            if frame.size and (
+                frame.max() > info.max or frame.min() < info.min
+            ):
+                # saturate both ends, don't wrap: 300 -> 255, and a
+                # (nonsensical but possible) -1 count -> 0, not 255
+                frame = np.clip(frame, info.min, info.max)
         return frame
 
     def flush(self) -> Dict[str, np.ndarray]:

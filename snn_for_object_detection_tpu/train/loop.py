@@ -186,6 +186,7 @@ class Trainer:
                 f"'auto', got {time_batched!r}"
             )
         self.time_batched = time_batched
+        self._auto_schedule = {}  # "auto" resolutions per mode
         # Optimizer surface (beyond the reference's fixed Adamax,
         # soda.py:135-136): any optax factory by name ("adamax",
         # "adamw", "sgd", ...) or {"name": ..., **kwargs}; optional LR
@@ -418,19 +419,36 @@ class Trainer:
             )
         return factory(lr, **kwargs)
 
-    def _maybe_autoschedule(self, model, data, train: bool) -> None:
-        """Resolve ``time_batched="auto"``: compile one step per
-        schedule on the run's real ``[T, B, H, W, C]`` geometry (dummy
-        zero frames — the conv/cell math is data-independent), time two
-        post-compile reps, and pin the fastest. A schedule that fails
-        to compile or OOMs at this geometry is disqualified, so "auto"
-        is never worse than the surviving schedules (e.g. fp32-state
-        1Mpx step scans that OOM where time-batched fits)."""
+    def _schedule_for(self, model, data, train: bool):
+        """The schedule ``_build_steps`` should use. Non-"auto" values
+        pass through; "auto" is resolved by measurement — separately
+        for the train step (BPTT memory/throughput) and the eval step
+        (forward only), since the winner can differ — and cached per
+        mode, so repeated fit/validate calls measure once."""
         if self.time_batched != "auto":
-            return
+            return self.time_batched
+        key = "train" if train else "eval"
+        if self._auto_schedule.get(key) is None:
+            self._auto_schedule[key] = self._measure_schedules(
+                model, data, train
+            )
+        return self._auto_schedule[key]
+
+    def _measure_schedules(self, model, data, train: bool):
+        """Compile one step per schedule on the run's real
+        ``[T, B, H, W, C]`` geometry (dummy zero frames in the
+        dataset's staging dtype — the conv/cell math is
+        data-independent), time two post-compile reps, and return the
+        fastest. A schedule that fails to compile or OOMs at this
+        geometry is disqualified, so "auto" is never worse than the
+        surviving schedules (e.g. fp32-state 1Mpx step scans that OOM
+        where time-batched fits)."""
         T, B = data.num_steps, data.batch_size
         H, W = model.in_hw
-        X = jnp.zeros((T, B, H, W, model.in_channels), jnp.uint8)
+        X = jnp.zeros(
+            (T, B, H, W, model.in_channels),
+            jnp.dtype(getattr(data, "frame_dtype", "uint8")),
+        )
         labels = jnp.full(
             (B, getattr(data, "max_labels", 8), 5), -1.0, jnp.float32
         )
@@ -465,9 +483,28 @@ class Trainer:
                     return model.loss(preds, labels)
             f = None
             try:
+                # compile is HOST-LOCAL — a failure here must not leave
+                # peers stuck in a collective, so hosts agree on
+                # compile success below before anyone executes
                 f = jax.jit(
                     step_fn, in_shardings=(rep, rep, feat_sh, lab_sh)
+                ).lower(params, stats, Xd, labd).compile()
+                ok = True
+            except Exception as e:
+                print(
+                    f"[trainer] schedule {sched!r} disqualified "
+                    f"(compile): {type(e).__name__}: {e}"[:200],
+                    flush=True,
                 )
+                ok = False
+            if dist.is_distributed() and not all(
+                dist.allgather_pickle(ok)
+            ):
+                ok = False  # some host failed -> nobody executes it
+            if not ok:
+                timings[sched] = float("inf")
+                continue
+            try:
                 jax.block_until_ready(f(params, stats, Xd, labd))
                 t0 = time.perf_counter()
                 for _ in range(2):
@@ -480,6 +517,9 @@ class Trainer:
                     flush=True,
                 )
             except Exception as e:
+                # runtime failure: in distributed mode this can only
+                # surface symmetrically (same program everywhere), so
+                # the inf merges identically on every host
                 print(
                     f"[trainer] schedule {sched!r} disqualified: "
                     f"{type(e).__name__}: {e}"[:200],
@@ -501,10 +541,14 @@ class Trainer:
                 "time_batched='auto': no schedule compiled at "
                 f"T={T} B={B} {H}x{W}"
             )
-        self.time_batched = best
-        print(f"[trainer] time_batched='auto' -> {best!r}", flush=True)
+        print(
+            f"[trainer] time_batched='auto' -> {best!r} "
+            f"({'train' if train else 'eval'} step)",
+            flush=True,
+        )
+        return best
 
-    def _build_steps(self, model):
+    def _build_steps(self, model, schedule=None):
         # Adamax default (soda.py:135-136) — configurable via the
         # ``optimizer``/``lr_schedule`` trainer options — optionally
         # behind global-norm gradient clipping (the Lightning
@@ -526,7 +570,9 @@ class Trainer:
         feat_sh = feature_sharding(self.mesh)
         lab_sh = batch_sharding(self.mesh, 0)
 
-        fwd = model.forward_fn(self.time_batched)
+        fwd = model.forward_fn(
+            self.time_batched if schedule is None else schedule
+        )
 
         def train_step(params, opt_state, stats, X, labels, key):
             r = (
@@ -590,8 +636,8 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
         self._sync_data_sharding(data)
         self.mesh_for_batch(data.batch_size)
-        self._maybe_autoschedule(model, data, train=True)
-        optimizer, jit_train, jit_eval = self._build_steps(model)
+        schedule = self._schedule_for(model, data, train=True)
+        optimizer, jit_train, jit_eval = self._build_steps(model, schedule)
         key = jax.random.PRNGKey(self.seed)
 
         params, stats = model.init(jax.random.fold_in(key, 0))
@@ -663,7 +709,7 @@ class Trainer:
                         (params, opt_state, stats), rep
                     )
                     optimizer, jit_train, jit_eval = self._build_steps(
-                        model
+                        model, schedule
                     )
                     train_iter.close()
                     train_iter = prefetch_to_device(
@@ -810,8 +856,8 @@ class Trainer:
     def validate(self, model, data, params, stats) -> Dict[str, float]:
         self._sync_data_sharding(data)
         self.mesh_for_batch(data.batch_size)
-        self._maybe_autoschedule(model, data, train=False)
-        _, _, jit_eval = self._build_steps(model)
+        schedule = self._schedule_for(model, data, train=False)
+        _, _, jit_eval = self._build_steps(model, schedule)
         key = jax.random.PRNGKey(self.seed)
         metrics = self._run_eval(
             model, jit_eval, params, stats,
@@ -823,8 +869,8 @@ class Trainer:
     def test(self, model, data, params, stats) -> Dict[str, float]:
         self._sync_data_sharding(data)
         self.mesh_for_batch(data.batch_size)
-        self._maybe_autoschedule(model, data, train=False)
-        _, _, jit_eval = self._build_steps(model)
+        schedule = self._schedule_for(model, data, train=False)
+        _, _, jit_eval = self._build_steps(model, schedule)
         key = jax.random.PRNGKey(self.seed)
         metrics = self._run_eval(
             model, jit_eval, params, stats,

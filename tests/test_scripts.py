@@ -148,3 +148,22 @@ def test_summarize_chip_queue(tmp_path):
     assert '"value": 3304.3' in out.stdout
     assert '"copy": 3' in out.stdout
     assert "RuntimeError: down" in out.stdout
+
+
+def test_summarize_survives_truncated_json(tmp_path):
+    """A benchmark killed mid-print leaves an unbalanced JSON block;
+    later records in the same log must still surface."""
+    q = tmp_path / "q"
+    q.mkdir()
+    (q / "queue.log").write_text("late rc=0\n")
+    (q / "late.log").write_text(
+        '{\n  "truncated": {\n'        # never balances
+        + "noise\n" * 500
+        + '{"metric": "fps", "value": 7.0}\n'
+    )
+    out = subprocess.run(
+        [sys.executable, "scripts/summarize_chip_queue.py", str(q)],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr[-300:]
+    assert '"value": 7.0' in out.stdout

@@ -258,8 +258,10 @@ def test_integer_staging_saturates_large_counts(setup):
     eng.add_stream("a")
     big = np.zeros((H, W, 2), np.float32)
     big[0, 0, 0] = 300.0
+    big[0, 1, 0] = -1.0  # integral, passes the rint check
     eng.step({"a": big})
     assert eng._bufs[0].max() == 255  # saturated, not 300 % 256 == 44
+    assert eng._bufs[0][0, 0, 1, 0] == 0  # -1 clips to 0, not 255
 
 
 def test_pipelined_bad_frame_does_not_desync_buffers(setup):

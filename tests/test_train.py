@@ -404,7 +404,8 @@ def test_auto_schedule_resolves_and_fits(synth_root, tmp_path):
         prefetch_batches=0, seed=0, time_batched="auto",
     )
     result = trainer.fit(model, dm)
-    assert trainer.time_batched in (False, True, "hybrid")  # resolved
+    assert trainer.time_batched == "auto"  # the setting survives
+    assert trainer._auto_schedule["train"] in (False, True, "hybrid")
     assert result["step"] == 2
     assert np.isfinite(float(result["best_metric"])) or \
         result["best_metric"] == -np.inf
@@ -432,9 +433,10 @@ def test_auto_schedule_merges_host_timings(monkeypatch, synth_root, tmp_path):
     monkeypatch.setattr(dist_mod, "is_distributed", lambda: True)
 
     def fake_allgather(local):
+        if isinstance(local, bool):  # per-candidate compile barrier
+            return [local, True]
         other = {k: (1e-6 if k == "hybrid" else 1e9) for k in local}
         return [local, other]
 
     monkeypatch.setattr(dist_mod, "allgather_pickle", fake_allgather)
-    trainer._maybe_autoschedule(model, dm, train=False)
-    assert trainer.time_batched == "hybrid"
+    assert trainer._schedule_for(model, dm, train=False) == "hybrid"
