@@ -32,6 +32,15 @@ def enable_compile_cache(
     """
     path = os.path.expanduser(path)
     os.makedirs(path, exist_ok=True)
+    # The cache module initializes ONCE per process: changing the dir
+    # after any compile has happened (or after a previous enable) is
+    # silently ignored without a reset.
+    try:
+        from jax._src.compilation_cache import reset_cache
+
+        reset_cache()
+    except Exception:
+        pass
     jax.config.update("jax_compilation_cache_dir", path)
     for name, value in (
         ("jax_persistent_cache_min_compile_time_secs",
