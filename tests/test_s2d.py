@@ -154,3 +154,54 @@ def test_s2d_spec_survives_dataclass_replace():
     assert not c.s2d
     c2 = dataclasses.replace(c, s2d=True)
     assert c2.s2d and c2.out_channels == 64
+
+
+def test_s2d_stem_on_spatial_mesh_matches_single_device(rng):
+    """The packed stem under a (data=2 x space=4) mesh — the 1Mpx
+    multi-chip training combo — must match one device at the
+    loss+gradient level (GSPMD reshards the 2x2-block pack across the
+    height shards; numerics must be unchanged)."""
+    import jax.numpy as jnp
+
+    from snn_for_object_detection_tpu.parallel import (
+        batch_sharding,
+        feature_sharding,
+        make_mesh,
+        replicated,
+        shard_batch,
+    )
+
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=0,
+                      s2d_stem=True)
+    params, stats = model.init(jax.random.PRNGKey(0))
+
+    T, B = 3, 2
+    X = (rng.random((T, B, 32, 40, 2)) < 0.5).astype(np.float32)
+    labels = np.full((B, 2, 5), -1.0, np.float32)
+    labels[:, 0] = [0, 0.2, 0.2, 0.6, 0.6]
+    labels_j = jnp.asarray(labels)
+
+    def loss_fn(p, stats, Xin):
+        preds, _, _ = model.forward(p, stats, Xin, train=True)
+        return model.loss(preds, labels_j)
+
+    results = {}
+    for name, mesh in (
+        ("single", make_mesh(jax.devices()[:1])),
+        ("dp2_sp4", make_mesh(jax.devices()[:8], spatial=4)),
+    ):
+        rep = replicated(mesh)
+        step = jax.jit(
+            jax.value_and_grad(loss_fn),
+            in_shardings=(rep, rep, feature_sharding(mesh)),
+            out_shardings=(rep, rep),
+        )
+        Xd, _ = shard_batch(mesh, X, labels)
+        loss, grads = step(params, stats, Xd)
+        results[name] = (float(loss), jax.device_get(grads))
+
+    l1, g1 = results["single"]
+    l8, g8 = results["dp2_sp4"]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
