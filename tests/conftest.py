@@ -35,6 +35,7 @@ import pytest
 # `pytest -m smoke` stays under ~5 minutes. Everything else is marked
 # smoke automatically; chip-gated tests (train_gate) are always slow.
 SLOW_MODULES = {
+    "test_bench_smoke",
     "test_cli",
     "test_distributed",
     "test_import_torch_ckpt",

@@ -1,0 +1,45 @@
+"""CPU smoke of bench.py's device-side composition search.
+
+The chip-queue bench slot is precious during tunnel outages: a runtime
+bug in any composition branch (int8 calibrate, time-batched, s2d stem)
+would burn it with rc!=0. This runs the REAL bench_tpu() at a tiny
+geometry on CPU — every branch executes, every detail key lands.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_tpu_compositions_run_on_cpu(monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        "bench_smoke", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # tiny geometry: same code paths, CPU-feasible compiles
+    bench.T, bench.B, bench.H, bench.W = 4, 2, 32, 40
+
+    fps, detail = bench.bench_tpu()
+    assert np.isfinite(fps) and fps > 0
+    # every composition produced a number (a branch that silently
+    # failed would be missing its key)
+    for key in (
+        "bf16_frames_per_sec",
+        "int8_frames_per_sec",
+        "seq_frames_per_sec",
+        "seq_int8_frames_per_sec",
+        "s2d_frames_per_sec",
+        "s2d_int8_frames_per_sec",
+    ):
+        assert key in detail, f"composition missing: {key}"
+        assert detail[key] > 0
+    assert detail["config"].startswith("bf16-acts")
+    best_detail = max(
+        v for k, v in detail.items() if k.endswith("frames_per_sec")
+    )
+    assert abs(fps - best_detail) < 0.11  # detail values are rounded
