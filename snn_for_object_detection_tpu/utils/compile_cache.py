@@ -19,6 +19,21 @@ import jax
 DEFAULT_DIR = os.path.join("~", ".cache", "snn_tpu_jax")
 
 
+def reset_compile_cache() -> None:
+    """Reset the once-per-process cache module so a subsequent config
+    change takes effect. Keeps the private-API knowledge in ONE place
+    (the test cleanup uses it too)."""
+    try:
+        from jax._src.compilation_cache import reset_cache
+    except ImportError:  # older jax without the hook
+        return
+    try:
+        reset_cache()
+    except Exception as e:  # a failed reset must not be silent: the
+        # next enable would keep writing to the old directory
+        print(f"[compile-cache] reset failed: {e!r}", flush=True)
+
+
 def enable_compile_cache(
     path: str = DEFAULT_DIR, min_compile_seconds: float = 1.0
 ) -> str:
@@ -35,12 +50,7 @@ def enable_compile_cache(
     # The cache module initializes ONCE per process: changing the dir
     # after any compile has happened (or after a previous enable) is
     # silently ignored without a reset.
-    try:
-        from jax._src.compilation_cache import reset_cache
-
-        reset_cache()
-    except Exception:
-        pass
+    reset_compile_cache()
     jax.config.update("jax_compilation_cache_dir", path)
     for name, value in (
         ("jax_persistent_cache_min_compile_time_secs",

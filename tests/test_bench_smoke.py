@@ -15,6 +15,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_tpu_compositions_run_on_cpu(monkeypatch):
+    for var in ("BENCH_INT8", "BENCH_SEQ", "BENCH_S2D"):
+        monkeypatch.delenv(var, raising=False)  # every branch must run
     spec = importlib.util.spec_from_file_location(
         "bench_smoke", os.path.join(REPO, "bench.py")
     )

@@ -31,12 +31,11 @@ def test_cache_dir_populates_and_roundtrips(tmp_path):
     finally:
         # don't leave a temp cache configured for later tests
         jax.config.update("jax_compilation_cache_dir", None)
-        try:
-            from jax._src.compilation_cache import reset_cache
+        from snn_for_object_detection_tpu.utils.compile_cache import (
+            reset_compile_cache,
+        )
 
-            reset_cache()
-        except Exception:
-            pass
+        reset_compile_cache()
 
 
 def test_cli_flag_disables(monkeypatch):

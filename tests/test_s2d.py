@@ -164,12 +164,14 @@ def test_s2d_stem_on_spatial_mesh_matches_single_device(rng):
     import jax.numpy as jnp
 
     from snn_for_object_detection_tpu.parallel import (
-        batch_sharding,
         feature_sharding,
         make_mesh,
         replicated,
         shard_batch,
     )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (virtual CPU mesh)")
 
     model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=0,
                       s2d_stem=True)
