@@ -50,9 +50,11 @@ def load_model_state(trainer, model, ckpt_path):
     # restore() trims the target to the keys the checkpoint actually
     # holds (e.g. weights-only exports lack opt_state/step/epoch)
     target = {"params": params, "stats": stats, "opt_state": None,
-              "step": 0, "epoch": 0}
+              "step": 0, "epoch": 0, "ema_params": params}
     restored = trainer.ckpt.restore(ckpt_path, target=target)
-    return restored["params"], restored["stats"]
+    # a run trained with Trainer(ema_decay=...) is deployed with its
+    # averaged weights — that is what its val metrics were measured on
+    return restored.get("ema_params", restored["params"]), restored["stats"]
 
 
 def main(argv=None):

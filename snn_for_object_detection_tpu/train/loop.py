@@ -103,6 +103,13 @@ class Trainer:
         trainer measures them itself on the run's real geometry at
         fit/validate start and pins the fastest (a schedule that OOMs
         there is disqualified rather than fatal).
+    :param ema_decay: Enable EMA weight averaging (e.g. ``0.999``):
+        a decay-weighted average of the params is maintained inside
+        the jitted train step (one fused elementwise pass), validation
+        and checkpoint ranking use the AVERAGED weights, and the
+        checkpoint stores them under ``ema_params`` (``main.py``
+        deploys them automatically). The standard detection mAP
+        booster; off by default for reference parity.
     """
 
     def __init__(
@@ -129,6 +136,7 @@ class Trainer:
         prefetch_batches: int = 2,
         spatial_devices: int = 1,
         time_batched: bool = False,
+        ema_decay: Optional[float] = None,
         optimizer: Any = "adamax",
         lr_schedule: Optional[Dict[str, Any]] = None,
         logger: Any = None,
@@ -187,6 +195,12 @@ class Trainer:
             )
         self.time_batched = time_batched
         self._auto_schedule = {}  # "auto" resolutions per mode
+        # EMA weight averaging (beyond the reference; the standard
+        # detection mAP booster): keep a decay-weighted average of the
+        # params alongside training, validate/checkpoint with it.
+        if ema_decay is not None and not 0.0 <= float(ema_decay) <= 1.0:
+            raise ValueError(f"ema_decay must be in [0, 1], got {ema_decay}")
+        self.ema_decay = None if ema_decay is None else float(ema_decay)
         # Optimizer surface (beyond the reference's fixed Adamax,
         # soda.py:135-136): any optax factory by name ("adamax",
         # "adamw", "sgd", ...) or {"name": ..., **kwargs}; optional LR
@@ -574,7 +588,9 @@ class Trainer:
             self.time_batched if schedule is None else schedule
         )
 
-        def train_step(params, opt_state, stats, X, labels, key):
+        decay = self.ema_decay
+
+        def train_step(params, opt_state, stats, ema, X, labels, key):
             r = (
                 jax.random.randint(key, (), 0, model.time_window)
                 if model.time_window
@@ -592,13 +608,21 @@ class Trainer:
             )(params, stats)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, new_stats, loss
+            if decay is not None:
+                # EMA weight averaging (fused into the step: one
+                # elementwise pass over the 4M-param tree, negligible
+                # next to the BPTT grad)
+                ema = jax.tree.map(
+                    lambda e, p: decay * e + (1.0 - decay) * p,
+                    ema, params,
+                )
+            return params, opt_state, new_stats, ema, loss
 
         jit_train = jax.jit(
             train_step,
-            in_shardings=(rep, rep, rep, feat_sh, lab_sh, rep),
-            out_shardings=(rep, rep, rep, rep),
-            donate_argnums=(0, 1, 2),
+            in_shardings=(rep, rep, rep, rep, feat_sh, lab_sh, rep),
+            out_shardings=(rep, rep, rep, rep, rep),
+            donate_argnums=(0, 1, 2, 3),
         )
 
         def eval_step(params, stats, X, labels, key):
@@ -642,6 +666,12 @@ class Trainer:
 
         params, stats = model.init(jax.random.fold_in(key, 0))
         opt_state = optimizer.init(params)
+        # EMA starts AT the initial params (a fresh copy: params are
+        # donated every step, the average must own its buffers)
+        ema = (
+            jax.tree.map(jnp.array, params)
+            if self.ema_decay is not None else None
+        )
         step = 0
         epoch = 0
         best_metric = -np.inf
@@ -666,9 +696,17 @@ class Trainer:
             # (pre-early-stopping checkpoints lack the callback keys;
             # weights-only exports lack the trainer state entirely);
             # a corrupt checkpoint surfaces its real Orbax error
+            if ema is not None:
+                target["ema_params"] = ema
             restored = self.ckpt.restore(ckpt_path, target=target)
             params = restored["params"]
             stats = restored["stats"]
+            if ema is not None:
+                # older/EMA-less checkpoints: restart the average from
+                # the restored params
+                ema = restored.get(
+                    "ema_params", jax.tree.map(jnp.array, params)
+                )
             if "opt_state" in restored:
                 opt_state = restored["opt_state"]
             else:
@@ -708,6 +746,8 @@ class Trainer:
                     params, opt_state, stats = jax.device_put(
                         (params, opt_state, stats), rep
                     )
+                    if ema is not None:
+                        ema = jax.device_put(ema, rep)
                     optimizer, jit_train, jit_eval = self._build_steps(
                         model, schedule
                     )
@@ -725,8 +765,8 @@ class Trainer:
                     if step == profile_at and not profiling:
                         jax.profiler.start_trace(self.profile_dir)
                         profiling = True
-                    params, opt_state, stats, loss = jit_train(
-                        params, opt_state, stats, Xd, labd, sub
+                    params, opt_state, stats, ema, loss = jit_train(
+                        params, opt_state, stats, ema, Xd, labd, sub
                     )
                     if profiling and step >= profile_at + 2:
                         jax.block_until_ready(loss)
@@ -754,25 +794,30 @@ class Trainer:
                 # ---- periodic validation + checkpointing + early stop ----
                 if epoch % self.check_val_every_n_epoch == 0:
                     key, sub = jax.random.split(key)
+                    # validate with the EMA weights when averaging is
+                    # on (the weights that would be deployed)
                     metrics = self._run_eval(
-                        model, jit_eval, params, stats,
+                        model, jit_eval,
+                        params if ema is None else ema, stats,
                         val_iter_factory(), self.limit_val_batches, sub, "val",
                     )
                     self.logger.log(step, metrics)
                     metric = metrics.get(self.monitor, 0.0)
                     # multi-host: save() is a collective — every process
                     # calls it; only process 0 touches the filesystem index
+                    payload = {
+                        "params": params,
+                        "stats": stats,
+                        "opt_state": opt_state,
+                        "step": step,
+                        "epoch": epoch,
+                        "best_metric": best_metric,
+                        "checks_since_best": checks_since_best,
+                    }
+                    if ema is not None:
+                        payload["ema_params"] = ema
                     self.ckpt.save(
-                        step,
-                        {
-                            "params": params,
-                            "stats": stats,
-                            "opt_state": opt_state,
-                            "step": step,
-                            "epoch": epoch,
-                            "best_metric": best_metric,
-                            "checks_since_best": checks_since_best,
-                        },
+                        step, payload,
                         metric=metric,
                         meta={"metrics": metrics, "epoch": epoch},
                     )
@@ -806,7 +851,7 @@ class Trainer:
             finally:
                 self.logger.close()
         dist.barrier("fit_end")
-        return {
+        result = {
             "params": params,
             "stats": stats,
             "opt_state": opt_state,
@@ -814,6 +859,9 @@ class Trainer:
             "epoch": epoch,
             "best_metric": best_metric,
         }
+        if ema is not None:
+            result["ema_params"] = ema
+        return result
 
     def _run_eval(
         self, model, jit_eval, params, stats, data_iter, limit, key, prefix

@@ -440,3 +440,66 @@ def test_auto_schedule_merges_host_timings(monkeypatch, synth_root, tmp_path):
 
     monkeypatch.setattr(dist_mod, "allgather_pickle", fake_allgather)
     assert trainer._schedule_for(model, dm, train=False) == "hybrid"
+
+
+def test_ema_weight_averaging(synth_root, tmp_path):
+    """Trainer(ema_decay=...): the averaged tree obeys the closed-form
+    endpoints — decay=1 freezes it at the init params, decay=0 tracks
+    the live params exactly — and it round-trips through checkpoints."""
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+
+    def fit(decay, out):
+        trainer = Trainer(
+            max_epochs=1, limit_train_batches=2, limit_val_batches=1,
+            check_val_every_n_epoch=1, out_dir=str(tmp_path / out),
+            prefetch_batches=0, seed=0, ema_decay=decay,
+        )
+        return trainer, trainer.fit(model, make_dm(synth_root))
+
+    # decay=1: the average never moves off the init point
+    _, res1 = fit(1.0, "ema1")
+    init_params, _ = model.init(
+        jax.random.fold_in(jax.random.PRNGKey(0), 0)
+    )
+    for a, b in zip(
+        jax.tree.leaves(res1["ema_params"]), jax.tree.leaves(init_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ... and training itself still moved the live params
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(res1["params"]), jax.tree.leaves(init_params)
+        )
+    )
+    assert moved
+
+    # decay=0: the average IS the live params
+    _, res0 = fit(0.0, "ema0")
+    for a, b in zip(
+        jax.tree.leaves(res0["ema_params"]), jax.tree.leaves(res0["params"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # checkpoint roundtrip: resume restores the average and keeps going
+    trainer3, res3 = fit(0.9, "ema_ck")
+    trainer4 = Trainer(
+        max_epochs=2, limit_train_batches=2, limit_val_batches=1,
+        check_val_every_n_epoch=2, out_dir=str(tmp_path / "ema_ck"),
+        prefetch_batches=0, seed=0, ema_decay=0.9,
+    )
+    res4 = trainer4.fit(model, make_dm(synth_root), ckpt_path="auto")
+    assert res4["step"] == 4 and "ema_params" in res4
+    # the resumed average moved on from the saved one
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(res4["ema_params"]),
+            jax.tree.leaves(res3["ema_params"]),
+        )
+    )
+
+
+def test_ema_decay_validation():
+    with pytest.raises(ValueError, match="ema_decay"):
+        Trainer(ema_decay=1.5)
