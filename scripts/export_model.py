@@ -35,6 +35,10 @@ def main():
         "step": state.get("step", 0),
         "epoch": state.get("epoch", 0),
     }
+    if "ema_params" in state:
+        # EMA runs are deployed with their averaged weights — the
+        # weights the checkpoint's val metrics were measured on
+        slim["ema_params"] = state["ema_params"]
     save_single(dst, slim)
     print(f"exported {src} -> {dst} (optimizer state stripped)")
 

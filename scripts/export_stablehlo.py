@@ -48,8 +48,11 @@ def main():
     cfg = load_config(args.config or ["config/config.yaml"], overrides)
     model = instantiate(cfg["model"])
     state = load_single(args.ckpt)
+    # EMA-trained checkpoints serve their averaged weights (what the
+    # recorded val metrics were measured on)
+    params = state.get("ema_params") or state["params"]
     export_predict(
-        model, state["params"], state["stats"], args.out,
+        model, params, state["stats"], args.out,
         batch_size=args.batch_size,
     )
     size = os.path.getsize(args.out)

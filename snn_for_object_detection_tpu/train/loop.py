@@ -200,6 +200,13 @@ class Trainer:
         # params alongside training, validate/checkpoint with it.
         if ema_decay is not None and not 0.0 <= float(ema_decay) <= 1.0:
             raise ValueError(f"ema_decay must be in [0, 1], got {ema_decay}")
+        if ema_decay is not None and float(ema_decay) == 1.0:
+            print(
+                "[trainer] WARNING: ema_decay=1.0 freezes the average "
+                "at the INITIAL params — validation/checkpoints will "
+                "score untrained weights. Typical values: 0.99-0.9999.",
+                flush=True,
+            )
         self.ema_decay = None if ema_decay is None else float(ema_decay)
         # Optimizer surface (beyond the reference's fixed Adamax,
         # soda.py:135-136): any optax factory by name ("adamax",
@@ -612,10 +619,21 @@ class Trainer:
                 # EMA weight averaging (fused into the step: one
                 # elementwise pass over the 4M-param tree, negligible
                 # next to the BPTT grad)
-                ema = jax.tree.map(
+                blended = jax.tree.map(
                     lambda e, p: decay * e + (1.0 - decay) * p,
                     ema, params,
                 )
+                if self.accumulate_grad_batches > 1:
+                    # blend only when MultiSteps actually flushed a
+                    # real update (mini_step wrapped to 0) — otherwise
+                    # decay would compound to decay^k per true step
+                    did_step = opt_state.mini_step == 0
+                    ema = jax.tree.map(
+                        lambda b, e: jnp.where(did_step, b, e),
+                        blended, ema,
+                    )
+                else:
+                    ema = blended
             return params, opt_state, new_stats, ema, loss
 
         jit_train = jax.jit(
@@ -704,8 +722,10 @@ class Trainer:
             if ema is not None:
                 # older/EMA-less checkpoints: restart the average from
                 # the restored params
-                ema = restored.get(
-                    "ema_params", jax.tree.map(jnp.array, params)
+                ema = (
+                    restored["ema_params"]
+                    if "ema_params" in restored
+                    else jax.tree.map(jnp.array, params)
                 )
             if "opt_state" in restored:
                 opt_state = restored["opt_state"]
@@ -803,6 +823,15 @@ class Trainer:
                     )
                     self.logger.log(step, metrics)
                     metric = metrics.get(self.monitor, 0.0)
+                    # Update the early-stopping state BEFORE saving so a
+                    # resume sees this validation's outcome (saving the
+                    # pre-comparison values forgot a new best across
+                    # every restart).
+                    if metric > best_metric:
+                        best_metric = metric
+                        checks_since_best = 0
+                    else:
+                        checks_since_best += 1
                     # multi-host: save() is a collective — every process
                     # calls it; only process 0 touches the filesystem index
                     payload = {
@@ -824,11 +853,6 @@ class Trainer:
                     # Patience counts VALIDATION CHECKS, matching Lightning's
                     # EarlyStopping semantics (patience=30 = 30 stagnant
                     # checks, not 30 epochs; config.yaml:40-44).
-                    if metric > best_metric:
-                        best_metric = metric
-                        checks_since_best = 0
-                    else:
-                        checks_since_best += 1
                     if (
                         epoch >= self.min_epochs
                         and self.early_stopping_patience > 0

@@ -503,3 +503,82 @@ def test_ema_weight_averaging(synth_root, tmp_path):
 def test_ema_decay_validation():
     with pytest.raises(ValueError, match="ema_decay"):
         Trainer(ema_decay=1.5)
+
+
+def test_ema_accumulation_gating(tmp_path):
+    """Under gradient accumulation the EMA must blend ONLY when
+    MultiSteps flushes a real optimizer step — otherwise decay
+    compounds to decay^k per true update. On a micro step the average
+    (and the params) stay bit-identical; on the flush step both move,
+    and the average equals the closed-form blend."""
+    import jax.numpy as jnp
+
+    from snn_for_object_detection_tpu.parallel import shard_batch
+
+    trainer = Trainer(
+        ema_decay=0.5, accumulate_grad_batches=2,
+        out_dir=str(tmp_path / "gate"), seed=0,
+    )
+    trainer.mesh_for_batch(2)
+    model = MicroSODa(num_classes=2, in_hw=(32, 40), time_window=0)
+    optimizer, jit_train, _ = trainer._build_steps(model, False)
+
+    params, stats = model.init(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    ema = jax.tree.map(jnp.array, params)
+    p0 = jax.device_get(params)
+    e0 = jax.device_get(ema)
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray((rng.random((3, 2, 32, 40, 2)) < 0.5), jnp.float32)
+    labels = np.full((2, 2, 5), -1.0, np.float32)
+    labels[:, 0] = [0, 0.2, 0.2, 0.6, 0.6]
+    Xd, labd = shard_batch(trainer.mesh, X, jnp.asarray(labels))
+
+    key = jax.random.PRNGKey(1)
+    # micro step 1/2: no flush -> neither params nor the average move
+    params, opt_state, stats, ema, _ = jit_train(
+        params, opt_state, stats, ema, Xd, labd, key
+    )
+    p1, e1 = jax.device_get(params), jax.device_get(ema)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p0)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(e1), jax.tree.leaves(e0)):
+        np.testing.assert_array_equal(a, b)
+
+    # micro step 2/2: flush -> params move, average = 0.5*old + 0.5*new
+    params, opt_state, stats, ema, _ = jit_train(
+        params, opt_state, stats, ema, Xd, labd, key
+    )
+    p2, e2 = jax.device_get(params), jax.device_get(ema)
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p0))
+    )
+    for e, eo, p in zip(
+        jax.tree.leaves(e2), jax.tree.leaves(e0), jax.tree.leaves(p2)
+    ):
+        np.testing.assert_allclose(e, 0.5 * eo + 0.5 * p, rtol=1e-6)
+
+
+def test_checkpoint_stores_post_comparison_early_stopping_state(
+    synth_root, tmp_path
+):
+    """The checkpoint written at a validation must already contain THAT
+    validation's outcome (best_metric / checks_since_best) — saving the
+    pre-comparison values forgot a new best across every restart."""
+    model = MicroSODa(num_classes=2, in_hw=(240, 304), time_window=0)
+    trainer = Trainer(
+        max_epochs=1, limit_train_batches=1, limit_val_batches=1,
+        check_val_every_n_epoch=1, out_dir=str(tmp_path / "es"),
+        prefetch_batches=0, seed=0,
+    )
+    res = trainer.fit(model, make_dm(synth_root))
+    restored = trainer.ckpt.restore(
+        os.path.join(trainer.out_dir, "checkpoints", "last"),
+        target={"best_metric": 0.0, "checks_since_best": 0},
+    )
+    # the run's single validation set best_metric; the stored value
+    # must match the post-comparison result the fit returned
+    assert float(restored["best_metric"]) == float(res["best_metric"])
+    assert int(restored["checks_since_best"]) == 0
