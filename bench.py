@@ -32,8 +32,15 @@ import time
 
 import numpy as np
 
-T, B = 32, 16
+T = 32
 H, W = 240, 304
+# Batch is a free variable of the frames/s/chip metric (BASELINE.md),
+# and the curve is non-monotonic (chip-measured, round 4:
+# B=8 3660 > B=64 3575 > B=16 3315 > B=32 2978 — log/chip_r04b/
+# batch_scaling.log), so the bench sweeps it instead of fixing B=16.
+# Override with BENCH_BATCHES="8,16" to trim the search.
+_bs = os.environ.get("BENCH_BATCHES", "8,16,32,64")
+BATCHES = tuple(int(s) for s in _bs.split(",") if s.strip())
 # Tunnel-outage resilience: probe the backend in a SUBPROCESS with a
 # hard timeout (an outage manifests as a hung device call, which no
 # in-process try/except can bound), and back off between attempts.
@@ -140,9 +147,12 @@ def bench_tpu() -> "tuple[float, dict]":
     model = TinyYolo(num_classes=2, in_hw=(H, W), compute_dtype=jnp.bfloat16,
                      state_dtype=jnp.bfloat16, remat=False, scan_unroll=2)
     params, stats = model.init(jax.random.PRNGKey(0))
-    X = jnp.asarray(
-        np.random.default_rng(0).random((T, B, H, W, 2)) < 0.1, jnp.uint8
-    )
+
+    def make_X(batch: int):
+        return jnp.asarray(
+            np.random.default_rng(0).random((T, batch, H, W, 2)) < 0.1,
+            jnp.uint8,
+        )
 
     def make_forward(fwd_method):
         def forward(params, stats, X):
@@ -155,14 +165,22 @@ def bench_tpu() -> "tuple[float, dict]":
     def time_forward(p, X, fwd_method=model.forward) -> float:
         """Steady-state event-frames/s for one params tree."""
         dt = time_compiled_forward(make_forward(fwd_method), p, stats, X)
-        return T * B / dt
+        return T * X.shape[1] / dt
 
-    fps_bf16 = time_forward(params, X)
+    # Stage 1: batch sweep on the production bf16 path (the curve is
+    # non-monotonic; see BATCHES above).
+    sweep = {batch: time_forward(params, make_X(batch))
+             for batch in BATCHES}
+    B, fps_bf16 = max(sweep.items(), key=lambda kv: kv[1])
+    X = make_X(B)
 
-    # Compose the accuracy-validated int8 PTQ conv path (ops/quantize.py:
-    # spikes are binary so symmetric int8 is exact on most conv inputs;
-    # +8.1% measured in round 3, no measured mAP loss). Calibrate on a
-    # short slice of the bench stream; fall back to bf16 on any failure.
+    # Stage 2: alternate compositions at the winning batch.
+    #
+    # int8 PTQ convs (ops/quantize.py): spikes are binary so symmetric
+    # int8 is exact on most conv inputs. Round-3 measured +8.1% with
+    # the bf16 dequant chain; the round-4 f32-dequant regression is
+    # reverted (compile.py _INT8_DEQUANT_F32). Calibrate on a short
+    # slice of the bench stream; fall back to bf16 on any failure.
     fps_int8 = None
     if os.environ.get("BENCH_INT8", "1") != "0":
         try:
@@ -172,26 +190,24 @@ def bench_tpu() -> "tuple[float, dict]":
         except Exception as e:
             print(f"[bench] int8 path failed: {e}", file=sys.stderr)
 
-    # Round-4 candidate: the time-batched schedule (forward_seq — convs
-    # folded over T*B, temporal Pallas cells with VMEM-resident state).
-    # Round-2 measured the step scan ahead for GEN1 inference, but the
-    # temporal-kernel rework since may have moved the crossover; results
-    # are identical, so the bench takes whichever schedule is faster.
-    fps_seq = fps_seq_int8 = None
+    # Time-batched schedule (forward_seq — convs folded over T*B,
+    # temporal Pallas cells with VMEM-resident state). Chip-measured
+    # LOSING for GEN1 inference every round (r04: 2365 vs 3307 f/s) —
+    # kept in the search because schedule reworks can move the
+    # crossover, but only one compile (no int8 composition).
+    fps_seq = None
     if os.environ.get("BENCH_SEQ", "1") != "0":
         try:
             fps_seq = time_forward(params, X, model.forward_seq)
-            if fps_int8 is not None:
-                fps_seq_int8 = time_forward(qparams, X, model.forward_seq)
         except Exception as e:
             print(f"[bench] forward_seq path failed: {e}", file=sys.stderr)
 
-    # Round-4 candidate: space-to-depth stem (spec.Conv(s2d=True) —
-    # exact-numerics execution plan; the raw Cin=2 frame underfills the
-    # MXU contraction 9*2 wide, the packed plan is 16*2 over half the
-    # spatial grid). SAME param tree: only the stem conv's plan changes.
+    # Space-to-depth stem: chip-measured NEGATIVE everywhere (r04:
+    # 0.926x GEN1 unit, 0.49x 1Mpx unit, 0.979x full model —
+    # log/chip_r04b/s2d_stem.log; docs/perf.md "s2d stem"), so it is
+    # OUT of the default search. BENCH_S2D=1 re-includes it.
     fps_s2d = fps_s2d_int8 = None
-    if os.environ.get("BENCH_S2D", "1") != "0":
+    if os.environ.get("BENCH_S2D", "0") != "0":
         try:
             model_s2d = TinyYolo(
                 num_classes=2, in_hw=(H, W), compute_dtype=jnp.bfloat16,
@@ -204,24 +220,25 @@ def bench_tpu() -> "tuple[float, dict]":
         except Exception as e:
             print(f"[bench] s2d-stem path failed: {e}", file=sys.stderr)
 
-    detail = {"bf16_frames_per_sec": round(fps_bf16, 1)}
+    detail = {
+        "bf16_frames_per_sec": round(fps_bf16, 1),
+        "batch": B,
+        "batch_sweep": {str(b): round(v, 1) for b, v in sweep.items()},
+    }
     for key, v in (
         ("int8_frames_per_sec", fps_int8),
         ("seq_frames_per_sec", fps_seq),
-        ("seq_int8_frames_per_sec", fps_seq_int8),
         ("s2d_frames_per_sec", fps_s2d),
         ("s2d_int8_frames_per_sec", fps_s2d_int8),
     ):
         if v is not None:
             detail[key] = round(v, 1)
     candidates = {
-        "bf16-acts + bf16-states": fps_bf16,
-        "bf16-acts + bf16-states + int8-ptq-convs": fps_int8,
-        "bf16-acts + bf16-states + time-batched": fps_seq,
-        "bf16-acts + bf16-states + int8-ptq-convs + time-batched":
-            fps_seq_int8,
-        "bf16-acts + bf16-states + s2d-stem": fps_s2d,
-        "bf16-acts + bf16-states + int8-ptq-convs + s2d-stem":
+        f"bf16-acts + bf16-states @ B={B}": fps_bf16,
+        f"bf16-acts + bf16-states + int8-ptq-convs @ B={B}": fps_int8,
+        f"bf16-acts + bf16-states + time-batched @ B={B}": fps_seq,
+        f"bf16-acts + bf16-states + s2d-stem @ B={B}": fps_s2d,
+        f"bf16-acts + bf16-states + int8-ptq-convs + s2d-stem @ B={B}":
             fps_s2d_int8,
     }
     cfg, best = max(
@@ -438,6 +455,7 @@ def _record_last_good(result: dict) -> None:
     try:
         with open(LAST_GOOD_PATH, "w") as f:
             json.dump(rec, f, indent=1)
+            f.write("\n")  # POSIX-friendly: keep diffs noise-free
     except OSError as e:
         print(f"[bench] could not record last-good: {e}", file=sys.stderr)
 

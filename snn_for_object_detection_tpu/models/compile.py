@@ -21,10 +21,16 @@ convolutions hit the MXU without transposes.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# int8 PTQ dequant arithmetic width (trace-time constant). The bf16
+# chain is the measured default; SNN_INT8_DEQUANT=f32 re-enables the
+# round-4 fp32 variant for A/B (benchmarks/bench_int8_ptq.py --both).
+_INT8_DEQUANT_F32 = os.environ.get("SNN_INT8_DEQUANT", "bf16") == "f32"
 
 from snn_for_object_detection_tpu.models import spec as S
 from snn_for_object_detection_tpu.ops import neurons
@@ -343,11 +349,31 @@ def _compile_leaf(
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     preferred_element_type=jnp.int32,
                 )
-                # dequant in fp32 (int32 acc × f32 scale), cast last:
-                # same fused single pass and byte traffic, but the
-                # accumulator's precision isn't rounded to bf16 first
                 scale = params["x_scale"] * params["w_scale"]
-                return (y * scale).astype(x.dtype), stats, state
+                if _INT8_DEQUANT_F32:
+                    # fp32 dequant (int32 acc × f32 scale, cast last):
+                    # round-4's "precision fix". Chip A/B
+                    # (log/chip_r05/int8_ab_f32.log): 0.847× the fp
+                    # baseline AND mAP50 −0.054 — strictly worse than
+                    # the bf16 chain on both axes. Kept only as the
+                    # A/B arm.
+                    return (y * scale).astype(x.dtype), stats, state
+                # bf16 dequant (cast the int32 accumulator to the
+                # activation dtype first, multiply by a bf16 scale) —
+                # the round-3 shipped form, re-pinned by the round-5
+                # chip A/B (log/chip_r05/int8_ab_bf16.log): 1.082×
+                # speedup, mAP50 delta −0.003 (inside the ±0.02
+                # run-to-run eval noise). The conv is a custom call,
+                # so the dequant is its own elementwise pass either
+                # way; keeping every operand in the activation dtype
+                # lets XLA fuse it with the downstream BN-affine/
+                # neuron pass instead of materializing an f32
+                # intermediate (the f32 chain measured 0.95× in
+                # round 3 and 0.85× in rounds 4-5).
+                return (
+                    y.astype(x.dtype) * scale.astype(x.dtype),
+                    stats, state,
+                )
             if ctx.calibrate:
                 stats = dict(stats)
                 stats["in_absmax"] = jnp.max(

@@ -1,9 +1,10 @@
 """CPU smoke of bench.py's device-side composition search.
 
 The chip-queue bench slot is precious during tunnel outages: a runtime
-bug in any composition branch (int8 calibrate, time-batched, s2d stem)
-would burn it with rc!=0. This runs the REAL bench_tpu() at a tiny
-geometry on CPU — every branch executes, every detail key lands.
+bug in any composition branch (batch sweep, int8 calibrate,
+time-batched, s2d stem) would burn it with rc!=0. This runs the REAL
+bench_tpu() at a tiny geometry on CPU — every branch executes, every
+detail key lands.
 """
 
 import importlib.util
@@ -15,8 +16,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_tpu_compositions_run_on_cpu(monkeypatch):
-    for var in ("BENCH_INT8", "BENCH_SEQ", "BENCH_S2D"):
+    for var in ("BENCH_INT8", "BENCH_SEQ", "BENCH_BATCHES"):
         monkeypatch.delenv(var, raising=False)  # every branch must run
+    monkeypatch.setenv("BENCH_S2D", "1")  # opt-in branch must run too
     spec = importlib.util.spec_from_file_location(
         "bench_smoke", os.path.join(REPO, "bench.py")
     )
@@ -24,7 +26,8 @@ def test_bench_tpu_compositions_run_on_cpu(monkeypatch):
     spec.loader.exec_module(bench)
 
     # tiny geometry: same code paths, CPU-feasible compiles
-    bench.T, bench.B, bench.H, bench.W = 4, 2, 32, 40
+    bench.T, bench.H, bench.W = 4, 32, 40
+    bench.BATCHES = (2, 4)
 
     fps, detail = bench.bench_tpu()
     assert np.isfinite(fps) and fps > 0
@@ -34,14 +37,19 @@ def test_bench_tpu_compositions_run_on_cpu(monkeypatch):
         "bf16_frames_per_sec",
         "int8_frames_per_sec",
         "seq_frames_per_sec",
-        "seq_int8_frames_per_sec",
         "s2d_frames_per_sec",
         "s2d_int8_frames_per_sec",
     ):
         assert key in detail, f"composition missing: {key}"
         assert detail[key] > 0
+    # the batch sweep ran over every configured batch and picked one
+    assert set(detail["batch_sweep"]) == {"2", "4"}
+    assert detail["batch"] in (2, 4)
     assert detail["config"].startswith("bf16-acts")
+    assert detail["config"].endswith(f"B={detail['batch']}")
     best_detail = max(
-        v for k, v in detail.items() if k.endswith("frames_per_sec")
+        v
+        for k, v in detail.items()
+        if k.endswith("frames_per_sec")
     )
     assert abs(fps - best_detail) < 0.11  # detail values are rounded
