@@ -202,6 +202,46 @@ def bench_tpu() -> "tuple[float, dict]":
         except Exception as e:
             print(f"[bench] forward_seq path failed: {e}", file=sys.stderr)
 
+    # fp8 neuron-state storage (state_dtype=float8_e5m2/e4m3): halves
+    # the LIF/LI state HBM traffic again on top of bf16 — the round-5
+    # ablation pinned the cells at 47% of the forward (80.5 vs 43.0 ms
+    # with cells swapped for ReLU, log/chip_r05/ablation.log), and the
+    # fp8 sweep measured e5m2 +16%/+31% at B=8/16 with mAP50 deltas
+    # inside run noise (+0.001/-0.0004, log/chip_r05/fp8_states.log).
+    # Update math stays fp32; only the carried (v, i) storage narrows.
+    fps_e5m2 = fps_e4m3 = fps_e5m2_int8 = None
+    B_e5m2 = B
+    sweep_e5m2 = {}
+    if os.environ.get("BENCH_FP8_STATES", "1") != "0":
+        try:
+            def fp8_model(sd):
+                return TinyYolo(
+                    num_classes=2, in_hw=(H, W),
+                    compute_dtype=jnp.bfloat16, state_dtype=sd,
+                    remat=False, scan_unroll=2,
+                )
+
+            m_e5m2 = fp8_model(jnp.float8_e5m2)
+            # e5m2's batch optimum differs from bf16's (B=16 vs B=8 on
+            # chip), so it gets its own sweep.
+            sweep_e5m2 = {
+                batch: time_forward(params, make_X(batch), m_e5m2.forward)
+                for batch in BATCHES
+            }
+            B_e5m2, fps_e5m2 = max(
+                sweep_e5m2.items(), key=lambda kv: kv[1]
+            )
+            X_e5m2 = make_X(B_e5m2)
+            fps_e4m3 = time_forward(
+                params, X_e5m2, fp8_model(jnp.float8_e4m3fn).forward
+            )
+            if fps_int8 is not None:
+                fps_e5m2_int8 = time_forward(
+                    qparams, X_e5m2, m_e5m2.forward
+                )
+        except Exception as e:
+            print(f"[bench] fp8-states path failed: {e}", file=sys.stderr)
+
     # Space-to-depth stem: chip-measured NEGATIVE everywhere (r04:
     # 0.926x GEN1 unit, 0.49x 1Mpx unit, 0.979x full model —
     # log/chip_r04b/s2d_stem.log; docs/perf.md "s2d stem"), so it is
@@ -225,8 +265,16 @@ def bench_tpu() -> "tuple[float, dict]":
         "batch": B,
         "batch_sweep": {str(b): round(v, 1) for b, v in sweep.items()},
     }
+    if sweep_e5m2:
+        detail["e5m2_batch"] = B_e5m2
+        detail["e5m2_batch_sweep"] = {
+            str(b): round(v, 1) for b, v in sweep_e5m2.items()
+        }
     for key, v in (
         ("int8_frames_per_sec", fps_int8),
+        ("e5m2_states_frames_per_sec", fps_e5m2),
+        ("e4m3_states_frames_per_sec", fps_e4m3),
+        ("e5m2_states_int8_frames_per_sec", fps_e5m2_int8),
         ("seq_frames_per_sec", fps_seq),
         ("s2d_frames_per_sec", fps_s2d),
         ("s2d_int8_frames_per_sec", fps_s2d_int8),
@@ -236,6 +284,10 @@ def bench_tpu() -> "tuple[float, dict]":
     candidates = {
         f"bf16-acts + bf16-states @ B={B}": fps_bf16,
         f"bf16-acts + bf16-states + int8-ptq-convs @ B={B}": fps_int8,
+        f"bf16-acts + e5m2-states @ B={B_e5m2}": fps_e5m2,
+        f"bf16-acts + e4m3-states @ B={B_e5m2}": fps_e4m3,
+        f"bf16-acts + e5m2-states + int8-ptq-convs @ B={B_e5m2}":
+            fps_e5m2_int8,
         f"bf16-acts + bf16-states + time-batched @ B={B}": fps_seq,
         f"bf16-acts + bf16-states + s2d-stem @ B={B}": fps_s2d,
         f"bf16-acts + bf16-states + int8-ptq-convs + s2d-stem @ B={B}":

@@ -142,7 +142,17 @@ def main():
         try:
             results[name] = measure(T, B, **kwargs)
         except Exception as e:  # OOM at this geometry is a data point
-            results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            msg = f"{type(e).__name__}: {e}"
+            # The remote compile helper surfaces HBM RESOURCE_EXHAUSTED
+            # as a bare "HTTP 500"; the round-5 bisection
+            # (benchmarks/repro_1mpx_compile.py, log/chip_r05/
+            # repro_1mpx.log) confirmed every such row at this geometry
+            # is an OOM (noremat: BPTT activation set; time-batched:
+            # 2-4x padded-layout expansion of the [T*B,H,W,C] reshapes).
+            oom = ("RESOURCE_EXHAUSTED" in msg
+                   or ("HTTP 500" in msg and "remote_compile" in msg))
+            results[name] = {"oom": True, "error": msg[:200]} if oom \
+                else {"error": msg[:200]}
         print(json.dumps({name: results[name]}), flush=True)
     print(json.dumps({
         "metric": "1mpx_train_state_traffic",

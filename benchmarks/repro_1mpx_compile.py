@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -132,9 +133,17 @@ def run_probe(name: str) -> dict:
                 return rec
         except (json.JSONDecodeError, AttributeError):
             continue
-    # FULL stderr tail — the 200-char truncation is what we're fixing
+    # FULL stderr head + tail — the 200-char truncation is what we're
+    # fixing; the head carries the error TYPE (e.g. RESOURCE_EXHAUSTED),
+    # the tail the largest-allocations dump
+    err = r.stderr
+    m = re.search(
+        r"(RESOURCE_EXHAUSTED|INTERNAL|INVALID_ARGUMENT|UNIMPLEMENTED"
+        r"|FAILED_PRECONDITION)[^\n]*", err,
+    )
     return {"probe": name, "ok": False, "rc": r.returncode,
-            "error_tail": r.stderr[-4000:]}
+            "error_kind": m.group(0)[:300] if m else None,
+            "error_head": err[:1500], "error_tail": err[-4000:]}
 
 
 def main():

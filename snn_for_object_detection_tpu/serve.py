@@ -81,12 +81,19 @@ class StreamingEngine:
             below 256 events/pixel/step; pass ``float32`` for
             arbitrary-valued inputs. The jitted step casts to the
             model's compute dtype on device.
-        :param pipelined: Double-buffered mode: ``step()`` dispatches
-            the current frame batch and returns the detections of the
-            PREVIOUS one, so the device step and the next host
-            rasterization + transfer overlap (one frame of added
-            latency, higher throughput; call :meth:`flush` for the
-            final frame's results). The first ``step()`` returns ``{}``.
+        :param pipelined: Double-buffered mode: ``step()`` returns the
+            detections of the PREVIOUS frame batch and dispatches the
+            current one, so the device step overlaps the caller's next
+            rasterization (one frame of added latency; call
+            :meth:`flush` for the final frame's results). The first
+            ``step()`` returns ``{}``. Helps only when host→device
+            transfer and device compute can genuinely overlap (a real
+            TPU-VM PCIe/DMA path); over a SERIALIZED transport — e.g.
+            the single-link dev tunnel, where one step measures 70%
+            transfer — it cannot beat sync mode, which stays the
+            default (chip breakdown: log/chip_r05/streaming_probe.log,
+            sync 249 ms vs pipelined 250 ms after the round-5
+            fetch-before-dispatch reorder; 269 ms before it).
         """
         self.model = model
         self.capacity = int(capacity)
@@ -227,10 +234,20 @@ class StreamingEngine:
         buf[:] = 0
         for slot, frame in staged.items():
             buf[slot] = frame
+        # Pipelined mode fetches the PREVIOUS step's detections BEFORE
+        # dispatching the next one. Measured order (chip,
+        # log/chip_r05/streaming_probe.log): fetch-after-dispatch loses
+        # ~8% because the readback queues behind the next upload on a
+        # serialized transport; fetch-first removes that penalty while
+        # keeping the overlap that matters — the device computes step N
+        # while the host rasterizes/stages the caller's N+1 frames.
+        prev_out = None
+        if self.pipelined and self._pending is not None:
+            prev, self._pending = self._pending, None
+            prev_out = self._fan_out(*prev)
         # async dispatch: jnp.asarray + the jitted step return device
         # handles immediately; the transfer and compute proceed while
-        # the host fans out the previous results / rasterizes the next
-        # frames
+        # the host rasterizes the next frames
         dets, self._state = self._jit_step(
             self._params, self._stats, jnp.asarray(buf), self._state
         )
@@ -242,8 +259,8 @@ class StreamingEngine:
         )
         if not self.pipelined:
             return self._fan_out(dets, snapshot)
-        prev, self._pending = self._pending, (dets, snapshot)
-        return self._fan_out(*prev) if prev is not None else {}
+        self._pending = (dets, snapshot)
+        return prev_out if prev_out is not None else {}
 
     def _check_frame(self, sid: str, frame) -> np.ndarray:
         """Validate one incoming frame against the engine geometry and
