@@ -39,6 +39,9 @@ STATE_DTYPES = {
     "f32": jnp.float32,
     "bf16": jnp.bfloat16,
     "fp8_e4m3": jnp.float8_e4m3fn,
+    # e5m2 is the shipped headline dtype (round 5) — deployments
+    # re-check their own checkpoint with this script before enabling.
+    "fp8_e5m2": jnp.float8_e5m2,
 }
 
 
@@ -83,6 +86,7 @@ def main():
         **results,
         "delta_map50_bf16": round(results["bf16"]["map_50"] - base, 4),
         "delta_map50_fp8": round(results["fp8_e4m3"]["map_50"] - base, 4),
+        "delta_map50_e5m2": round(results["fp8_e5m2"]["map_50"] - base, 4),
     }))
 
 

@@ -102,6 +102,20 @@ def test_model_summary():
     assert 7.0e9 < s["conv_flops_per_frame"] < 8.5e9
 
 
+def test_infer_fp8_config_overlay():
+    """The shipped e5m2 inference overlay builds with the fp8 state
+    dtype coerced from its YAML string (docs/perf.md round-5 headline
+    config)."""
+    import jax.numpy as jnp
+
+    cfg = load_config(["config/config.yaml", "config/infer_fp8.yaml"])
+    model = instantiate(cfg["model"])
+    assert model.state_dtype == jnp.dtype(jnp.float8_e5m2)
+    assert model.compute_dtype == jnp.dtype(jnp.bfloat16)
+    # deep-merged defaults from the base config still apply
+    assert model.num_classes == 2
+
+
 def test_vgg_config_overlay():
     """class_path swapping from YAML (subclass_mode_model parity)."""
     cfg = load_config(["config/config.yaml", "config/vgg.yaml"])
