@@ -108,8 +108,14 @@ class Trainer:
         the jitted train step (one fused elementwise pass), validation
         and checkpoint ranking use the AVERAGED weights, and the
         checkpoint stores them under ``ema_params`` (``main.py``
-        deploys them automatically). The standard detection mAP
-        booster; off by default for reference parity.
+        deploys them automatically). Off by default. Horizon rule
+        (measured — docs/perf.md "EMA"): the average needs
+        ``total_steps >> 10 / (1 - decay)`` to pay; at a 600-step
+        synthetic run the 3-seed study measured 0.99 within seed
+        noise of off and 0.999 decisively worse (the average never
+        catches the live weights). Reserve it for long schedules
+        (e.g. the 250k-step GEN1 recipe, where 0.999's ~1k-step time
+        constant is <1% of the run).
     """
 
     def __init__(
