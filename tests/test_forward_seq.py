@@ -231,14 +231,19 @@ def test_forward_seq_records(setup):
     assert st_seq.v.shape[0] == X.shape[0]
 
 
-def test_fp8_state_storage_runs_and_correlates(setup):
-    """fp8 (e4m3) neuron-state storage is a supported opt-in
-    (docs/perf.md round-2 ledger: +15% throughput): forward must be
-    finite and strongly correlated with the fp32-state reference —
-    not equal (the membrane quantizes near threshold)."""
+@pytest.mark.parametrize(
+    "fp8", [jnp.float8_e4m3fn, jnp.float8_e5m2],
+    ids=["e4m3", "e5m2"],
+)
+def test_fp8_state_storage_runs_and_correlates(setup, fp8):
+    """fp8 neuron-state storage is a supported opt-in — e5m2 is the
+    shipped headline inference dtype (docs/perf.md round-5: +16-36%
+    over bf16 states, mAP50 delta inside run noise), e4m3 the
+    accuracy-caveated alternative: forward must be finite and strongly
+    correlated with the fp32-state reference — not equal (the membrane
+    quantizes near threshold)."""
     m, params, stats, X = setup
-    m8 = SeqYolo(num_classes=2, in_hw=(24, 32),
-                 state_dtype=jnp.float8_e4m3fn)
+    m8 = SeqYolo(num_classes=2, in_hw=(24, 32), state_dtype=fp8)
     # longer sequence so spike activity reaches the analog head
     X = jnp.concatenate([X, X, X], axis=0)
     (cls_ref, _), _, _ = m.forward(params, stats, X)
@@ -247,7 +252,7 @@ def test_fp8_state_storage_runs_and_correlates(setup):
     assert np.isfinite(np.asarray(cls_8)).all()
     # state really stored in fp8
     leaves = jax.tree_util.tree_leaves(state8)
-    assert any(l.dtype == jnp.float8_e4m3fn for l in leaves)
+    assert any(l.dtype == fp8 for l in leaves)
     a = np.asarray(cls_ref, np.float64).ravel()
     b = np.asarray(cls_8, np.float64).ravel()
     corr = np.corrcoef(a, b)[0, 1]
