@@ -207,7 +207,8 @@ def bench_tpu() -> "tuple[float, dict]":
     # ablation pinned the cells at 47% of the forward (80.5 vs 43.0 ms
     # with cells swapped for ReLU, log/chip_r05/ablation.log), and the
     # fp8 sweep measured e5m2 +16%/+31% at B=8/16 with mAP50 deltas
-    # inside run noise (+0.001/-0.0004, log/chip_r05/fp8_states.log).
+    # below the micro-val's ~±0.03 resolution on every checkpoint
+    # tried (log/chip_r05/fp8_states.log + state_map_xckpt.log).
     # Update math stays fp32; only the carried (v, i) storage narrows.
     fps_e5m2 = fps_e4m3 = fps_e5m2_int8 = None
     B_e5m2 = B
