@@ -38,8 +38,14 @@ H, W = 240, 304
 # and the curve is non-monotonic (chip-measured, round 4:
 # B=8 3660 > B=64 3575 > B=16 3315 > B=32 2978 — log/chip_r04b/
 # batch_scaling.log), so the bench sweeps it instead of fixing B=16.
-# Override with BENCH_BATCHES="8,16" to trim the search.
-_bs = os.environ.get("BENCH_BATCHES", "8,16,32,64")
+# Override with BENCH_BATCHES="8,16" to trim the search. The round-5
+# big-batch probes found a second, higher-throughput regime past the
+# original {8..64} edge — BOTH paths peak at B=128 (bf16 5713, e5m2
+# 7694 f/s vs 3653/4962 at the old optima; log/chip_r05/
+# {bf16,e5m2}_big_batch.log) — so the default sweep covers it. 16/32
+# are dropped from the default (documented losers at every geometry;
+# re-include via this env if the curve needs re-mapping).
+_bs = os.environ.get("BENCH_BATCHES", "8,64,96,128,192")
 BATCHES = tuple(int(s) for s in _bs.split(",") if s.strip())
 # Tunnel-outage resilience: probe the backend in a SUBPROCESS with a
 # hard timeout (an outage manifests as a hung device call, which no
@@ -223,8 +229,8 @@ def bench_tpu() -> "tuple[float, dict]":
                 )
 
             m_e5m2 = fp8_model(jnp.float8_e5m2)
-            # e5m2's batch optimum differs from bf16's (B=16 vs B=8 on
-            # chip), so it gets its own sweep.
+            # e5m2's batch curve differs from bf16's (lighter state
+            # HBM traffic moves the optimum), so it gets its own sweep.
             sweep_e5m2 = {
                 batch: time_forward(params, make_X(batch), m_e5m2.forward)
                 for batch in BATCHES
