@@ -64,7 +64,11 @@ def run(root: str, name: str, state_dtype, steps_per_epoch: int,
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    only = sys.argv[3] if len(sys.argv) > 3 else None  # f32 | bf16
+    only = sys.argv[3] if len(sys.argv) > 3 else None  # f32|bf16|e5m2
+    # comma list also accepted ("bf16,e5m2" = the round-5 fp8-train
+    # head-to-head; e5m2 states measured 1.17x bf16 train throughput,
+    # log/chip_r05/train_sched_e5m2.log — this answers whether the
+    # dynamics track)
     seeds = (
         [int(s) for s in sys.argv[4].split(",")]
         if len(sys.argv) > 4 else [0]
@@ -73,9 +77,11 @@ def main():
     root = make_synthetic_dataset(
         "/tmp/state_conv_data", records_per_split=4, duration_ms=4000
     )
-    configs = [("f32", jnp.float32), ("bf16", jnp.bfloat16)]
+    configs = [("f32", jnp.float32), ("bf16", jnp.bfloat16),
+               ("e5m2", jnp.float8_e5m2)]
     if only:
-        configs = [c for c in configs if c[0] == only]
+        wanted = only.split(",")
+        configs = [c for c in configs if c[0] in wanted]
     results = {}
     for seed in seeds:
         for name, sd in configs:

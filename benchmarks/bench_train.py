@@ -71,14 +71,22 @@ def measure(T, B, time_batched, **model_kwargs):
     )
     float(loss)  # compile + warm
 
-    reps = 10
-    t0 = time.perf_counter()
-    for k in range(reps):
-        params, opt_state, stats, loss = step(
-            params, opt_state, stats, X, labels, jax.random.fold_in(key, k)
-        )
-    float(loss)
-    dt = (time.perf_counter() - t0) / reps
+    # min over windows of steps: immune to the dev tunnel's
+    # intermittent RPC stalls, which poisoned single-window means
+    # (512 -> 159 f/s from one stall; benchmarks/_util.py docstring)
+    windows, per = 5, 2
+    dt = float("inf")
+    k = 0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(per):
+            params, opt_state, stats, loss = step(
+                params, opt_state, stats, X, labels,
+                jax.random.fold_in(key, k)
+            )
+            k += 1
+        float(loss)
+        dt = min(dt, (time.perf_counter() - t0) / per)
     return {
         "frames_per_sec": round(T * B / dt, 1),
         "step_ms": round(dt * 1e3, 1),
@@ -94,6 +102,13 @@ def main():
         ("step_scan", False, {}),
         ("step_scan_bf16_states", False,
          dict(compute_dtype=jnp.bfloat16, state_dtype=jnp.bfloat16)),
+        # fp8 carried states: halves the state HBM traffic in BOTH
+        # scan directions (the backward pass re-reads the carry).
+        # Accuracy note: bf16-state training is accuracy-validated
+        # (3-seed study, docs/perf.md); fp8-state TRAINING is a
+        # throughput data point only until a convergence run lands.
+        ("step_scan_e5m2_states", False,
+         dict(compute_dtype=jnp.bfloat16, state_dtype=jnp.float8_e5m2)),
         ("time_batched_bf16_states", True,
          dict(compute_dtype=jnp.bfloat16, state_dtype=jnp.bfloat16)),
         ("hybrid_bf16_states", "hybrid",
