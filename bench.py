@@ -473,15 +473,19 @@ def bench_torch_cpu() -> float:
         return bo, cl
 
     run_once()  # warm
-    reps = 0
-    t0 = time.perf_counter()
+    # Best window wins, mirroring the TPU-side protocol: a loaded host
+    # (e.g. a concurrent compile) would otherwise UNDER-measure the
+    # baseline and flatter vs_baseline — one run recorded 3.5 f/s vs
+    # the quiet-host 5.5-6.5 (log/chip_r05b/bench.log).
+    best = 0.0
+    t_all = time.perf_counter()
     while True:
+        t0 = time.perf_counter()
         run_once()
-        reps += 1
-        elapsed = time.perf_counter() - t0
-        if elapsed >= TORCH_MIN_SECONDS:
+        best = max(best, T / (time.perf_counter() - t0))
+        if time.perf_counter() - t_all >= TORCH_MIN_SECONDS:
             break
-    return T * reps / elapsed  # torch runs batch 1
+    return best  # torch runs batch 1
 
 
 LAST_GOOD_PATH = os.path.join(os.path.dirname(__file__) or ".",

@@ -88,15 +88,17 @@ def measure(T, B, time_batched=False, **model_kwargs) -> dict:
     float(loss)
     compile_s = time.perf_counter() - t0
 
-    reps = 3
-    t0 = time.perf_counter()
-    for i in range(reps):
+    # min over windows: immune to the tunnel's intermittent RPC
+    # stalls (benchmarks/_util.py docstring)
+    dt = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
         params, opt_state, stats, loss = jit_step(
             params, opt_state, stats, X, labels,
             jax.random.fold_in(key, i),
         )
-    float(loss)
-    dt = (time.perf_counter() - t0) / reps
+        float(loss)
+        dt = min(dt, time.perf_counter() - t0)
     return {
         "s_per_step": round(dt, 3),
         "frames_per_sec": round(T * B / dt, 1),

@@ -53,3 +53,30 @@ def test_bench_tpu_compositions_run_on_cpu(monkeypatch):
         if k.endswith("frames_per_sec")
     )
     assert abs(fps - best_detail) < 0.11  # detail values are rounded
+
+
+def test_timeit_is_immune_to_single_window_stalls():
+    """The shared timing protocol (benchmarks/_util.timeit) reports the
+    fastest window, so one simulated multi-hundred-ms RPC stall — the
+    dev tunnel's known failure mode that turned 512 f/s into 158.8
+    (docs/perf.md "Timing protocol") — must not move the result."""
+    import sys
+    import time
+
+    sys.path.insert(0, REPO)
+    from benchmarks._util import timeit
+
+    calls = {"n": 0}
+
+    def fake(_):
+        calls["n"] += 1
+        # call 0 is the warm-up; put one fat stall mid-run (calls 5-6
+        # = the third of five 2-call windows)
+        time.sleep(0.25 if calls["n"] in (5, 6) else 0.005)
+        return 1.0
+
+    dt = timeit(fake, None, reps=10, windows=5)
+    assert calls["n"] == 11  # warm-up + 5 windows x 2 calls
+    # clean windows run ~5 ms/call; a mean over all 10 calls would be
+    # ~54 ms/call. Generous ceiling for CI-machine scheduling noise:
+    assert dt < 0.05, f"stall leaked into the reported time: {dt}"
