@@ -225,6 +225,7 @@ def bench_tpu() -> "tuple[float, dict]":
     # Update math stays fp32; only the carried (v, i) storage narrows.
     fps_e5m2 = fps_e4m3 = fps_e5m2_int8 = None
     B_e5m2 = B
+    e5m2_unroll = 2
     sweep_e5m2 = {}
     if os.environ.get("BENCH_FP8_STATES", "1") != "0":
         try:
@@ -246,6 +247,21 @@ def bench_tpu() -> "tuple[float, dict]":
                 sweep_e5m2.items(), key=lambda kv: kv[1]
             )
             X_e5m2 = make_X(B_e5m2)
+            # scan unroll: 4 measured +1.7% over the shipped 2 at the
+            # B=128 lane-axis geometry (7675 vs 7550 same-run,
+            # log/chip_r05b/unroll_probe.log; 1 -> 7120, 8 -> 7557),
+            # so the search tries it at the winning batch and keeps
+            # the max.
+            m_e5m2_u4 = TinyYolo(
+                num_classes=2, in_hw=(H, W),
+                compute_dtype=jnp.bfloat16, state_dtype=jnp.float8_e5m2,
+                remat=False, scan_unroll=4,
+            )
+            fps_u4 = time_forward(params, X_e5m2, m_e5m2_u4.forward)
+            e5m2_unroll = 2
+            if fps_u4 > fps_e5m2:
+                fps_e5m2, m_e5m2, e5m2_unroll = fps_u4, m_e5m2_u4, 4
+                sweep_e5m2[B_e5m2] = fps_u4
             fps_e4m3 = time_forward(
                 params, X_e5m2, fp8_model(jnp.float8_e4m3fn).forward
             )
@@ -281,6 +297,7 @@ def bench_tpu() -> "tuple[float, dict]":
     }
     if sweep_e5m2:
         detail["e5m2_batch"] = B_e5m2
+        detail["e5m2_unroll"] = e5m2_unroll
         detail["e5m2_batch_sweep"] = {
             str(b): round(v, 1) for b, v in sweep_e5m2.items()
         }
