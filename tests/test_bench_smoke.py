@@ -16,7 +16,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_tpu_compositions_run_on_cpu(monkeypatch):
-    for var in ("BENCH_INT8", "BENCH_SEQ", "BENCH_BATCHES"):
+    for var in ("BENCH_INT8", "BENCH_SEQ", "BENCH_BATCHES",
+                "BENCH_FP8_STATES"):
         monkeypatch.delenv(var, raising=False)  # every branch must run
     monkeypatch.setenv("BENCH_S2D", "1")  # opt-in branch must run too
     spec = importlib.util.spec_from_file_location(
@@ -39,9 +40,15 @@ def test_bench_tpu_compositions_run_on_cpu(monkeypatch):
         "seq_frames_per_sec",
         "s2d_frames_per_sec",
         "s2d_int8_frames_per_sec",
+        "e5m2_states_frames_per_sec",
+        "e4m3_states_frames_per_sec",
+        "e5m2_states_int8_frames_per_sec",
     ):
         assert key in detail, f"composition missing: {key}"
         assert detail[key] > 0
+    # the fp8 stage ran its own batch + unroll search
+    assert detail["e5m2_batch"] in (2, 4)
+    assert detail["e5m2_unroll"] in (2, 4)
     # the batch sweep ran over every configured batch and picked one
     assert set(detail["batch_sweep"]) == {"2", "4"}
     assert detail["batch"] in (2, 4)
